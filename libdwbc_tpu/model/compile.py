@@ -1,0 +1,248 @@
+"""Model compiler: URDF → static fixed-topology array program.
+
+This replaces the reference's runtime RBDL model (``RobotData::LoadModelData``
+/ ``InitModelData``, /root/reference/src/dwbc.cpp:102-252) with an
+ahead-of-time compilation step.  The output, :class:`RobotModel`, is a set of
+*static* numpy arrays (parent indices, joint frames, axes, lumped inertias,
+ancestor masks).  Every per-tick quantity downstream is a pure jitted
+function of ``(q, qdot)`` with these arrays baked in as constants — there is
+no pointer-chasing model object on the device.
+
+Ordering parity: bodies are numbered by a pre-order depth-first walk with
+child joints sorted alphabetically by joint name, which reproduces
+RBDL+urdfdom numbering (see urdf.py).  Fixed joints are merged into their
+moving parent exactly like RBDL's fixed-body lumping (same math as
+``Link::AddLink``, /root/reference/src/link.cpp:247-269).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .rotations_np import rpy_to_matrix, skew_np
+from .urdf import UrdfModel, parse_urdf
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotModel:
+    """Static description of a floating- or fixed-base kinematic tree.
+
+    All arrays are host numpy; jitted kernels close over them as constants.
+    Body 0 is the (floating) base.  ``ndof`` counts generalized velocities
+    (6 + n_joints when floating); ``nq = ndof + 1`` when floating (quaternion
+    w is stored at q[ndof], RBDL layout).
+    """
+
+    name: str
+    floating: bool
+    nbody: int                 # number of moving bodies (incl. base)
+    ndof: int                  # system dof (generalized velocities)
+    nq: int                    # size of q vector
+    model_dof: int             # actuated joints = ndof - 6 (floating) | ndof
+
+    body_names: tuple[str, ...]        # (nbody,)
+    joint_names: tuple[str, ...]       # (nbody,) name of joint above body ('' for base)
+    parent: np.ndarray                 # (nbody,) int32, parent body index, -1 for base
+    q_index: np.ndarray                # (nbody,) int32, qdot index of body's joint dof
+    X_T_rot: np.ndarray                # (nbody,3,3) child joint frame rotation in parent frame
+    X_T_trans: np.ndarray              # (nbody,3)  child joint frame origin in parent frame
+    axis: np.ndarray                   # (nbody,3)  revolute axis in child frame
+
+    mass: np.ndarray                   # (nbody,) lumped body mass
+    com: np.ndarray                    # (nbody,3) lumped COM in body frame
+    inertia: np.ndarray                # (nbody,3,3) lumped inertia about COM, body frame
+
+    ancestor_mask: np.ndarray          # (nbody, ndof) float, 1 where dof moves body
+    joint_limit_lower: np.ndarray      # (model_dof,)
+    joint_limit_upper: np.ndarray      # (model_dof,)
+    effort_limit: np.ndarray           # (model_dof,)
+    velocity_limit: np.ndarray         # (model_dof,)
+    damping: np.ndarray                # (model_dof,)
+
+    # Frames merged away by fixed-joint lumping: name -> (body index, R, p)
+    fixed_frames: dict[str, tuple[int, np.ndarray, np.ndarray]]
+
+    total_mass: float
+    gravity: np.ndarray                # (3,)
+
+    def body_index(self, name: str) -> int:
+        """Index of a moving body by name (case-insensitive, like the
+        reference's strcasecmp lookup, /root/reference/src/dwbc.cpp:401)."""
+        low = name.lower()
+        for i, nm in enumerate(self.body_names):
+            if nm.lower() == low:
+                return i
+        if name in self.fixed_frames:
+            return self.fixed_frames[name][0]
+        raise KeyError(f"no body named {name!r}")
+
+    # --- pytree-ish convenience -------------------------------------------
+    def children(self, i: int) -> list[int]:
+        return [j for j in range(self.nbody) if self.parent[j] == i]
+
+
+def _merge_inertial(
+    mass_a: float, com_a: np.ndarray, I_a: np.ndarray,
+    mass_b: float, com_b_in_a: np.ndarray, I_b_in_a_about_its_com: np.ndarray,
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """Lump body b into body a's frame (Link::AddLink math, link.cpp:247-269)."""
+    new_mass = mass_a + mass_b
+    if new_mass == 0.0:
+        return 0.0, np.zeros(3), np.zeros((3, 3))
+    new_com = (mass_a * com_a + mass_b * com_b_in_a) / new_mass
+    I_a_origin = I_a + mass_a * skew_np(com_a) @ skew_np(com_a).T
+    I_b_origin = I_b_in_a_about_its_com + mass_b * skew_np(com_b_in_a) @ skew_np(com_b_in_a).T
+    new_I = I_a_origin + I_b_origin - new_mass * skew_np(new_com) @ skew_np(new_com).T
+    return new_mass, new_com, new_I
+
+
+def compile_urdf(path_or_string: str, floating: bool = True) -> RobotModel:
+    """Compile a URDF into a RobotModel (the TPU-native LoadModelData)."""
+    urdf = parse_urdf(path_or_string)
+    return compile_model(urdf, floating)
+
+
+def compile_model(urdf: UrdfModel, floating: bool = True) -> RobotModel:
+    body_names: list[str] = []
+    joint_names: list[str] = []
+    parent: list[int] = []
+    q_index: list[int] = []
+    X_T_rot: list[np.ndarray] = []
+    X_T_trans: list[np.ndarray] = []
+    axis: list[np.ndarray] = []
+    mass: list[float] = []
+    com: list[np.ndarray] = []
+    inertia: list[np.ndarray] = []
+    jl_lower: list[float] = []
+    jl_upper: list[float] = []
+    jl_effort: list[float] = []
+    jl_vel: list[float] = []
+    jl_damp: list[float] = []
+    fixed_frames: dict[str, tuple[int, np.ndarray, np.ndarray]] = {}
+
+    root = urdf.links[urdf.root_link]
+    base_dof = 6 if floating else 0
+
+    # Body 0: the root/base.
+    body_names.append(root.name)
+    joint_names.append("")
+    parent.append(-1)
+    q_index.append(0)
+    X_T_rot.append(np.eye(3))
+    X_T_trans.append(np.zeros(3))
+    axis.append(np.zeros(3))
+    mass.append(root.inertial.mass)
+    com.append(root.inertial.com.copy())
+    inertia.append(root.inertial.inertia.copy())
+
+    next_q = base_dof
+
+    def lump_fixed_subtree(body_idx: int, link_name: str, R: np.ndarray, p: np.ndarray):
+        """Merge `link_name` (pose R,p in body_idx frame) into body_idx, then
+        recurse: fixed children keep lumping, moving children become bodies."""
+        link = urdf.links[link_name]
+        fixed_frames[link_name] = (body_idx, R.copy(), p.copy())
+        inert = link.inertial
+        com_in_a = R @ inert.com + p
+        I_in_a = R @ inert.inertia @ R.T
+        mass[body_idx], com[body_idx], inertia[body_idx] = _merge_inertial(
+            mass[body_idx], com[body_idx], inertia[body_idx],
+            inert.mass, com_in_a, I_in_a,
+        )
+        for jname in urdf.child_joints[link_name]:
+            joint = urdf.joints[jname]
+            Rj = rpy_to_matrix(joint.origin_rpy)
+            pj = joint.origin_xyz
+            if joint.joint_type == "fixed":
+                lump_fixed_subtree(body_idx, joint.child, R @ Rj, R @ pj + p)
+            else:
+                add_moving_body(body_idx, joint, R @ Rj, R @ pj + p)
+
+    def add_moving_body(parent_idx: int, joint, Rj: np.ndarray, pj: np.ndarray):
+        nonlocal next_q
+        assert joint.joint_type in ("revolute", "continuous"), (
+            f"unsupported joint type {joint.joint_type!r} for {joint.name!r}"
+        )
+        idx = len(body_names)
+        link = urdf.links[joint.child]
+        body_names.append(joint.child)
+        joint_names.append(joint.name)
+        parent.append(parent_idx)
+        q_index.append(next_q)
+        next_q += 1
+        X_T_rot.append(Rj)
+        X_T_trans.append(pj)
+        axis.append(joint.axis.copy())
+        mass.append(link.inertial.mass)
+        com.append(link.inertial.com.copy())
+        inertia.append(link.inertial.inertia.copy())
+        jl_lower.append(joint.limit_lower)
+        jl_upper.append(joint.limit_upper)
+        jl_effort.append(joint.limit_effort)
+        jl_vel.append(joint.limit_velocity)
+        jl_damp.append(joint.damping)
+        walk(idx, joint.child)
+
+    def walk(body_idx: int, link_name: str):
+        """Pre-order DFS, children alphabetical by joint name (RBDL parity)."""
+        for jname in urdf.child_joints[link_name]:
+            joint = urdf.joints[jname]
+            Rj = rpy_to_matrix(joint.origin_rpy)
+            pj = joint.origin_xyz
+            if joint.joint_type == "fixed":
+                lump_fixed_subtree(body_idx, joint.child, Rj, pj)
+            else:
+                add_moving_body(body_idx, joint, Rj, pj)
+
+    walk(0, root.name)
+
+    nbody = len(body_names)
+    ndof = next_q
+    model_dof = ndof - base_dof
+    nq = ndof + 1 if floating else ndof
+
+    parent_arr = np.array(parent, dtype=np.int32)
+    q_index_arr = np.array(q_index, dtype=np.int32)
+
+    # Ancestor mask: dof j moves body i iff the body owning dof j is on the
+    # path base→i.  Base dofs (0..5) move every body when floating.
+    amask = np.zeros((nbody, ndof), dtype=np.float64)
+    for i in range(nbody):
+        if floating:
+            amask[i, 0:6] = 1.0
+        k = i
+        while k > 0:
+            amask[i, q_index_arr[k]] = 1.0
+            k = parent_arr[k]
+
+    return RobotModel(
+        name=urdf.name,
+        floating=floating,
+        nbody=nbody,
+        ndof=ndof,
+        nq=nq,
+        model_dof=model_dof,
+        body_names=tuple(body_names),
+        joint_names=tuple(joint_names),
+        parent=parent_arr,
+        q_index=q_index_arr,
+        X_T_rot=np.stack(X_T_rot),
+        X_T_trans=np.stack(X_T_trans),
+        axis=np.stack(axis),
+        mass=np.array(mass),
+        com=np.stack(com),
+        inertia=np.stack(inertia),
+        ancestor_mask=amask,
+        joint_limit_lower=np.array(jl_lower),
+        joint_limit_upper=np.array(jl_upper),
+        effort_limit=np.array(jl_effort),
+        velocity_limit=np.array(jl_vel),
+        damping=np.array(jl_damp),
+        fixed_frames=fixed_frames,
+        total_mass=float(np.sum(mass)),
+        gravity=GRAVITY.copy(),
+    )

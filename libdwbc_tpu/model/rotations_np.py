@@ -1,0 +1,27 @@
+"""Host-side (numpy) rotation helpers for the model compiler."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rpy_to_matrix(rpy: np.ndarray) -> np.ndarray:
+    """URDF roll-pitch-yaw (extrinsic x-y-z) to rotation matrix.
+
+    Returns R mapping child-frame coordinates to parent-frame coordinates:
+    R = Rz(yaw) @ Ry(pitch) @ Rx(roll).
+    """
+    r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def skew_np(v: np.ndarray) -> np.ndarray:
+    return np.array(
+        [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]]
+    )
