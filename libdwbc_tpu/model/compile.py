@@ -69,6 +69,85 @@ class RobotModel:
     total_mass: float
     gravity: np.ndarray                # (3,)
 
+    # ------------------------------------------------------- serialization
+    def save(self, path: str) -> None:
+        """Serialize the compiled model (npz: arrays + json-encoded metadata).
+
+        This is the shippable artifact of the model compiler — downstream
+        code never needs the URDF again.
+        """
+        import json
+
+        meta = dict(
+            name=self.name,
+            floating=self.floating,
+            body_names=list(self.body_names),
+            joint_names=list(self.joint_names),
+            fixed_frames={
+                k: [int(v[0]), v[1].tolist(), v[2].tolist()]
+                for k, v in self.fixed_frames.items()
+            },
+        )
+        np.savez_compressed(
+            path,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            parent=self.parent,
+            q_index=self.q_index,
+            X_T_rot=self.X_T_rot,
+            X_T_trans=self.X_T_trans,
+            axis=self.axis,
+            mass=self.mass,
+            com=self.com,
+            inertia=self.inertia,
+            ancestor_mask=self.ancestor_mask,
+            joint_limit_lower=self.joint_limit_lower,
+            joint_limit_upper=self.joint_limit_upper,
+            effort_limit=self.effort_limit,
+            velocity_limit=self.velocity_limit,
+            damping=self.damping,
+            gravity=self.gravity,
+        )
+
+    @staticmethod
+    def load(path: str) -> "RobotModel":
+        import json
+
+        z = np.load(path)
+        meta = json.loads(bytes(z["meta"]).decode())
+        nbody = len(meta["body_names"])
+        base_dof = 6 if meta["floating"] else 0
+        ndof = base_dof + nbody - 1
+        return RobotModel(
+            name=meta["name"],
+            floating=meta["floating"],
+            nbody=nbody,
+            ndof=ndof,
+            nq=ndof + 1 if meta["floating"] else ndof,
+            model_dof=ndof - base_dof,
+            body_names=tuple(meta["body_names"]),
+            joint_names=tuple(meta["joint_names"]),
+            parent=z["parent"],
+            q_index=z["q_index"],
+            X_T_rot=z["X_T_rot"],
+            X_T_trans=z["X_T_trans"],
+            axis=z["axis"],
+            mass=z["mass"],
+            com=z["com"],
+            inertia=z["inertia"],
+            ancestor_mask=z["ancestor_mask"],
+            joint_limit_lower=z["joint_limit_lower"],
+            joint_limit_upper=z["joint_limit_upper"],
+            effort_limit=z["effort_limit"],
+            velocity_limit=z["velocity_limit"],
+            damping=z["damping"],
+            fixed_frames={
+                k: (int(v[0]), np.array(v[1]), np.array(v[2]))
+                for k, v in meta["fixed_frames"].items()
+            },
+            total_mass=float(np.sum(z["mass"])),
+            gravity=z["gravity"],
+        )
+
     def body_index(self, name: str) -> int:
         """Index of a moving body by name (case-insensitive, like the
         reference's strcasecmp lookup, /root/reference/src/dwbc.cpp:401)."""

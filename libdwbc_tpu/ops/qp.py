@@ -1,0 +1,171 @@
+"""Batched fixed-iteration QP solver: the TPU-native qpOASES replacement.
+
+The reference solves every per-tick QP with qpOASES' dense active-set method
+(`CQuadraticProgram::SolveQPoases`, /root/reference/src/qp_wrapper.cpp:192-380)
+— variable iteration counts, hot-starts, host-side branching.  None of that
+maps onto XLA.  Here the same problems are solved by a **predictor–corrector
+primal–dual interior-point method with a static iteration count**, followed by
+an **active-set polish** step (one KKT solve on the identified active set, the
+same idea as OSQP's `polish`) that recovers the exact vertex solution
+active-set methods produce.  Everything is dense, shape-static, batched, and
+differentiable.
+
+Problem form (qpOASES convention, two-sided linear constraints):
+
+    min ½ xᵀHx + gᵀx   s.t.  lb ≤ A x ≤ ub
+
+Infinite bounds are allowed and handled by row masking.  H may be positive
+*semi*-definite (the task QPs have H = diag(I, 0), src/dwbc.cpp:990-991); a
+configurable Tikhonov term reproduces qpOASES' regularisation limit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1.0e20
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray        # (n,) primal solution
+    lam: jnp.ndarray      # (2m,) multipliers for [upper; lower] rows
+    gap: jnp.ndarray      # () final complementarity gap
+    primal_res: jnp.ndarray  # () final max primal violation
+    polished: jnp.ndarray    # () bool: polish step accepted
+
+
+def _one_sided(A, lb, ub):
+    """Convert lb ≤ Ax ≤ ub into Cx ≤ d with masked infinite rows.
+
+    Rows with |bound| ≥ _BIG are replaced by 0·x ≤ 1 (always satisfiable,
+    multipliers vanish at the central path limit).
+    """
+    ub_f = jnp.isfinite(ub) & (jnp.abs(ub) < _BIG)
+    lb_f = jnp.isfinite(lb) & (jnp.abs(lb) < _BIG)
+    C = jnp.concatenate([A * ub_f[..., :, None], -A * lb_f[..., :, None]], axis=-2)
+    d = jnp.concatenate(
+        [jnp.where(ub_f, ub, 1.0), jnp.where(lb_f, -lb, 1.0)], axis=-1
+    )
+    return C, d
+
+
+@partial(jax.jit, static_argnames=("iters", "ridge"))
+def solve_qp(H, g, A, lb, ub, iters: int = 30, ridge: float = 1.0e-9) -> QPSolution:
+    """Solve one (or a batch of) dense QPs.  All args broadcast on leading dims.
+
+    iters: static IPM iteration count (30 reaches ~1e-9 on well-scaled
+    problems; polish then drives exact-vertex accuracy).
+    ridge: Tikhonov regularisation added to H (qpOASES regularises
+    semidefinite Hessians the same way, qp_wrapper.cpp:344-363 diagnoses
+    them); keeps the Newton system positive definite.
+    """
+    n = H.shape[-1]
+    dtype = H.dtype
+    C, d = _one_sided(A, lb, ub)
+    m = C.shape[-2]
+
+    Hr = H + ridge * jnp.eye(n, dtype=dtype)
+
+    x0 = jnp.zeros(jnp.broadcast_shapes(H.shape[:-2], A.shape[:-2]) + (n,), dtype=dtype)
+    s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), 1.0)
+    lam0 = jnp.ones_like(s0)
+
+    CT = jnp.swapaxes(C, -1, -2)
+
+    def newton_step(x, s, lam, sigma_mu):
+        """Solve the perturbed KKT system for (dx, ds, dlam)."""
+        s_safe = jnp.maximum(s, 1e-14)
+        r_d = jnp.einsum("...ij,...j->...i", Hr, x) + g + jnp.einsum(
+            "...ji,...j->...i", C, lam
+        )
+        r_p = jnp.einsum("...ij,...j->...i", C, x) + s - d
+        r_c = s * lam - sigma_mu
+        w = jnp.clip(lam / s_safe, 0.0, 1e12)
+        # reduced system: (H + Cᵀ diag(w) C) dx = -r_d - Cᵀ (w r_p - r_c/s)
+        K = Hr + jnp.einsum("...ji,...j,...jk->...ik", C, w, C)
+        rhs = -r_d - jnp.einsum(
+            "...ji,...j->...i", C, w * r_p - r_c / s_safe
+        )
+        L = jnp.linalg.cholesky(K)
+        dx = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+        ds = -(r_p + jnp.einsum("...ij,...j->...i", C, dx))
+        dlam = -(r_c + lam * ds) / s_safe
+        return dx, ds, dlam
+
+    def alpha_max(v, dv, tau=0.995):
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), _BIG)
+        return jnp.minimum(1.0, tau * jnp.min(ratio, axis=-1))
+
+    def body(carry, _):
+        x, s, lam = carry
+        mu = jnp.sum(s * lam, axis=-1) / m
+        # Freeze converged lanes: once mu is tiny the scaled Newton system is
+        # too ill-conditioned to help — take a zero step (static shape, no
+        # data-dependent control flow).
+        live = (mu > 1e-13).astype(dtype)
+        # predictor (affine) step
+        dx_a, ds_a, dlam_a = newton_step(x, s, lam, jnp.zeros_like(s))
+        a_p = alpha_max(s, ds_a)
+        a_d = alpha_max(lam, dlam_a)
+        mu_aff = jnp.sum(
+            (s + a_p[..., None] * ds_a) * (lam + a_d[..., None] * dlam_a), axis=-1
+        ) / m
+        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+        # corrector step with Mehrotra centering + second-order term
+        target = (sigma * mu)[..., None] - ds_a * dlam_a
+        dx, ds, dlam = newton_step(x, s, lam, target)
+        a_p = alpha_max(s, ds)
+        a_d = alpha_max(lam, dlam)
+        a = (live * jnp.minimum(a_p, a_d))[..., None]
+        dx = jnp.nan_to_num(dx)
+        ds = jnp.nan_to_num(ds)
+        dlam = jnp.nan_to_num(dlam)
+        return (x + a * dx, s + a * ds, lam + a * dlam), None
+
+    (x, s, lam), _ = jax.lax.scan(body, (x0, s0, lam0), None, length=iters)
+
+    # ------------------------------------------------------------- polish
+    # Active set from the converged central path: λ dominates s on active rows.
+    act = (lam > s).astype(dtype)
+    # KKT with inactive multipliers pinned to zero:
+    #   [ H        Cᵀ·diag(a) ] [x]   [ -g    ]
+    #   [ diag(a)C  -(1-a)I   ] [ν] = [ a∘d   ]
+    K_tl = Hr
+    K_tr = CT * act[..., None, :]
+    K_bl = C * act[..., :, None]
+    K_br = -jnp.eye(m, dtype=dtype) * (1.0 - act[..., None, :]) - ridge * jnp.eye(
+        m, dtype=dtype
+    )
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([K_tl, K_tr], axis=-1),
+            jnp.concatenate([K_bl, K_br], axis=-1),
+        ],
+        axis=-2,
+    )
+    rhs = jnp.concatenate([-g * jnp.ones_like(x), act * d], axis=-1)
+    sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+    x_p, lam_p = sol[..., :n], sol[..., n:]
+
+    def metrics(xv, lv):
+        slack = d - jnp.einsum("...ij,...j->...i", C, xv)
+        pres = jnp.max(jnp.maximum(-slack, 0.0), axis=-1)
+        gap = jnp.abs(jnp.sum(slack * lv, axis=-1)) / m
+        return pres, gap
+
+    pres_i, gap_i = metrics(x, lam)
+    pres_p, gap_p = metrics(x_p, jnp.maximum(lam_p, 0.0))
+    ok = (
+        jnp.isfinite(x_p).all(axis=-1)
+        & (pres_p + gap_p <= pres_i + gap_i + 1e-9)
+        & (lam_p.min(axis=-1) >= -1e-7)
+    )
+    x_fin = jnp.where(ok[..., None], x_p, x)
+    lam_fin = jnp.where(ok[..., None], jnp.maximum(lam_p, 0.0), lam)
+    pres = jnp.where(ok, pres_p, pres_i)
+    gap = jnp.where(ok, gap_p, gap_i)
+    return QPSolution(x=x_fin, lam=lam_fin, gap=gap, primal_res=pres, polished=ok)

@@ -1,0 +1,277 @@
+"""Operational-space WBC kernels (stateless, batched, jit-friendly).
+
+TPU-native re-derivation of the reference's free-function layer
+(/root/reference/src/wbd.cpp): contact-consistent dynamics, gravity
+compensation, the dynamically-consistent task-to-torque map (J_kt), task
+null-space chaining, contact force observation, and the closed-form two-foot
+contact redistribution.  All functions are pure, shape-static, and carry
+leading batch dimensions transparently.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kin.rotations import skew
+from ..ops.linalg import pinv_psd, pinv_psd_fixed_rank
+
+
+class ContactSpace(NamedTuple):
+    """Outputs of the contact-space factorization.
+
+    Mirrors ``CalculateContactConstraint`` (src/wbd.cpp:108-143):
+    Λ_c, J̄_cᵀ, N_C, A⁻¹N_C, W, W⁻¹, V2, NwJw.
+    """
+
+    Lambda_c: jnp.ndarray   # (c,c)
+    J_C_INV_T: jnp.ndarray  # (c,n)
+    N_C: jnp.ndarray        # (n,n)
+    A_inv_N_C: jnp.ndarray  # (n,n)
+    W: jnp.ndarray          # (n-6,n-6)
+    W_inv: jnp.ndarray      # (n-6,n-6)
+    V2: jnp.ndarray         # (c-6,n-6) orthonormal null rows of W
+    NwJw: jnp.ndarray       # (n-6,c-6) contact-force redistribution directions
+
+
+def _psd_inv(M):
+    """Inverse of a symmetric positive definite matrix via Cholesky."""
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
+def contact_space(J_C, A_inv) -> ContactSpace:
+    """Contact-consistent dynamics factorization.
+
+    J_C: (...,c,n) stacked contact jacobians (pos-first rows); A_inv (...,n,n).
+
+    TPU-native factorization strategy: no rank-revealing decomposition at all.
+    For PSD M with principal submatrix W, x ∈ ker(W) ⟺ [0;x] ∈ ker(M);
+    with M = A⁻¹N_C whose kernel is range(J_Cᵀ), the null space of W is
+
+        ker(W) = { J_C[:,6:]ᵀ y  :  J_C[:,:6]ᵀ y = 0 },
+
+    so V2 comes from two *small* QR factorizations (c×6 and (n-6)×(c-6)), and
+    the pseudo-inverse from one Cholesky:  W⁺ = (W + V2ᵀV2)⁻¹ − V2ᵀV2
+    (exact because V2 is an orthonormal kernel basis).  This replaces the
+    reference's COD (src/wbd.cpp:124) and is dramatically faster than
+    iterative eigendecompositions on TPU.
+    """
+    c = J_C.shape[-2]
+    n = J_C.shape[-1]
+    dtype = J_C.dtype
+
+    JAinv = J_C @ A_inv                                  # (...,c,n)
+    Mc = JAinv @ jnp.swapaxes(J_C, -1, -2)
+    Lambda_c = _psd_inv(0.5 * (Mc + jnp.swapaxes(Mc, -1, -2)))
+    J_C_INV_T = Lambda_c @ JAinv
+    N_C = jnp.eye(n, dtype=dtype) - jnp.swapaxes(J_C, -1, -2) @ J_C_INV_T
+    A_inv_N_C = A_inv @ N_C
+    W = A_inv_N_C[..., 6:, 6:]
+    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+
+    if c > 6:
+        # y-basis: left null space of J_C[:, :6]  (full QR of a c×6 block)
+        Qf, _ = jnp.linalg.qr(J_C[..., :, 0:6], mode="complete")  # (...,c,c)
+        Ny = Qf[..., :, 6:]                                       # (...,c,c-6)
+        V2T_raw = jnp.swapaxes(J_C[..., :, 6:], -1, -2) @ Ny      # (...,n-6,c-6)
+        V2T, _ = jnp.linalg.qr(V2T_raw)                           # orthonormal cols
+        W_inv = _psd_inv(W + V2T @ jnp.swapaxes(V2T, -1, -2)) - V2T @ jnp.swapaxes(V2T, -1, -2)
+        V2 = jnp.swapaxes(V2T, -1, -2)
+        # NwJw = V2ᵀ (J̄_cᵀ[0:c-6, 6:] V2ᵀ)⁻¹   (src/wbd.cpp:128)
+        NwJw = V2T @ jnp.linalg.inv(J_C_INV_T[..., 0 : c - 6, 6:] @ V2T)
+    else:
+        W_inv = _psd_inv(W)
+        V2 = jnp.zeros(W.shape[:-2] + (0, n - 6), dtype=dtype)
+        NwJw = jnp.zeros(W.shape[:-2] + (n - 6, 0), dtype=dtype)
+    return ContactSpace(Lambda_c, J_C_INV_T, N_C, A_inv_N_C, W, W_inv, V2, NwJw)
+
+
+def gravity_compensation(A_inv, W_inv, N_C, J_C_INV_T, G):
+    """τ_grav = W⁻¹ · (A⁻¹ bottom-rows · N_C G);  P_C = J̄_cᵀ G.
+
+    (``CalculateGravityCompensation``, src/wbd.cpp:186-192.)
+    """
+    m = W_inv.shape[-1]
+    NCG = jnp.einsum("...ij,...j->...i", N_C, G)
+    torque_grav = jnp.einsum(
+        "...ij,...j->...i", W_inv, jnp.einsum("...ij,...j->...i", A_inv[..., -m:, :], NCG)
+    )
+    P_C = jnp.einsum("...ij,...j->...i", J_C_INV_T, G)
+    return torque_grav, P_C
+
+
+class TaskSpaceFactors(NamedTuple):
+    Lambda_task: jnp.ndarray  # (t,t)
+    J_kt: jnp.ndarray         # (n-6,t)
+    Q: jnp.ndarray            # (t,n-6)
+
+
+def task_jkt(J_task, A_inv, N_C, W_inv, exact_pinv: bool = False) -> TaskSpaceFactors:
+    """Dynamically-consistent contact-consistent task-to-torque map.
+
+    Λ_t = (J A⁻¹N_C Jᵀ)⁻¹; Q = (Λ_t J A⁻¹N_C) right-cols;
+    J_ktᵀ = W⁻¹Qᵀ(QW⁻¹Qᵀ)⁺   (``CalculateJKT``, src/wbd.cpp:207-213).
+
+    QW⁻¹Qᵀ is PD for any independent task under contact-consistent dynamics,
+    so the reference's thresholded COD pinv reduces to a Cholesky inverse;
+    pass exact_pinv=True to use the thresholded eigendecomposition instead
+    (needed only for deliberately singular task stacks).
+    """
+    JAN = J_task @ A_inv @ N_C                        # (...,t,n)
+    M = JAN @ jnp.swapaxes(J_task, -1, -2)
+    Lambda_task = _psd_inv(0.5 * (M + jnp.swapaxes(M, -1, -2)))
+    Q = (Lambda_task @ JAN)[..., :, 6:]               # (...,t,n-6)
+    QT = jnp.swapaxes(Q, -1, -2)
+    QWQ = Q @ W_inv @ QT
+    QWQ = 0.5 * (QWQ + jnp.swapaxes(QWQ, -1, -2))
+    inv_mid = pinv_psd(QWQ) if exact_pinv else _psd_inv(QWQ)
+    J_kt = W_inv @ QT @ inv_mid
+    return TaskSpaceFactors(Lambda_task, J_kt, Q)
+
+
+def task_null_space(J_kt, Lambda_task, J_task, A_inv_N_C, prev_null):
+    """Null_task = prev_null (I − J_kt Λ_t J_t A⁻¹N_C right-cols).
+
+    (``CalculateTaskNullSpace``, src/wbd.cpp:257-261.)
+    """
+    m = J_task.shape[-1] - 6
+    eye = jnp.eye(m, dtype=J_task.dtype)
+    term = J_kt @ Lambda_task @ J_task @ A_inv_N_C[..., :, -m:]
+    return prev_null @ (eye - term)
+
+
+def contact_force_from_torque(command_torque, J_C_INV_T, P_C):
+    """f_c = J̄_cᵀ actuated-cols · τ − P_C (``CalculateContactForce``,
+    src/wbd.cpp:268-271)."""
+    m = command_torque.shape[-1]
+    return (
+        jnp.einsum("...ij,...j->...i", J_C_INV_T[..., :, -m:], command_torque) - P_C
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contact constraint inequality blocks (src/wbd.cpp:59-97)
+# ---------------------------------------------------------------------------
+
+def zmp_const_matrix(lx, ly, dtype=jnp.float64):
+    """4×6 CoP box constraint block for one 6D contact with half-sizes lx, ly.
+    Rows: ±My within lx·fz, ±Mx within ly·fz (``GetZMPConstMatrix``)."""
+    Z = jnp.zeros((4, 6), dtype=dtype)
+    Z = Z.at[0, 2].set(-lx).at[0, 4].set(-1.0)
+    Z = Z.at[1, 2].set(-lx).at[1, 4].set(1.0)
+    Z = Z.at[2, 2].set(-ly).at[2, 3].set(-1.0)
+    Z = Z.at[3, 2].set(-ly).at[3, 3].set(1.0)
+    return Z
+
+
+def force_const_matrix(mu, mu_z, dtype=jnp.float64):
+    """6×6 friction-cone block: |fx|,|fy| ≤ µ fz, |Mz| ≤ µ_z fz
+    (``GetForceConstMatrix``)."""
+    F = jnp.zeros((6, 6), dtype=dtype)
+    F = F.at[0, 0].set(1.0).at[0, 2].set(-mu)
+    F = F.at[1, 0].set(-1.0).at[1, 2].set(-mu)
+    F = F.at[2, 1].set(1.0).at[2, 2].set(-mu)
+    F = F.at[3, 1].set(-1.0).at[3, 2].set(-mu)
+    F = F.at[4, 5].set(1.0).at[4, 2].set(-mu_z)
+    F = F.at[5, 5].set(-1.0).at[5, 2].set(-mu_z)
+    return F
+
+
+# ---------------------------------------------------------------------------
+# Closed-form two-contact force redistribution (src/wbd.cpp:273-404)
+# ---------------------------------------------------------------------------
+
+def _eta_interval_update(A, B, C, eta_lb, eta_ub):
+    """Intersect the eta interval with the roots of (A²−C²)η² + 2ABη + B² ≤ 0."""
+    a = A * A
+    b = 2.0 * A * B
+    c = B * B - C * C
+    disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    safe_a = jnp.where(jnp.abs(a) > 1e-30, a, 1.0)
+    sol1 = (-b + disc) / (2.0 * safe_a)
+    sol2 = (-b - disc) / (2.0 * safe_a)
+    hi = jnp.maximum(sol1, sol2)
+    lo = jnp.minimum(sol1, sol2)
+    valid = jnp.abs(a) > 1e-30
+    eta_ub = jnp.where(valid, jnp.minimum(eta_ub, hi), eta_ub)
+    eta_lb = jnp.where(valid, jnp.maximum(eta_lb, lo), eta_lb)
+    return eta_lb, eta_ub
+
+
+def contact_redistribute_two(
+    eta_cust, footlength, footwidth, mu_static, ratio_x, ratio_y, P1, P2, F12
+):
+    """Closed-form two-foot redistribution (``ContactRedistributetwomod``).
+
+    F12: (...,12) stacked [f1(3) m1(3) f2(3) m2(3)] in a yaw-aligned frame;
+    P1, P2: (...,3) foot positions relative to COM (same frame).
+    Returns (resultant_force(6), redistributed F12(12), eta).
+    """
+    # Resultant wrench at COM: W = [I I; skew(P1) skew(P2)] (on 6D halves)
+    f1, m1 = F12[..., 0:3], F12[..., 3:6]
+    f2, m2 = F12[..., 6:9], F12[..., 9:12]
+    Fr = f1 + f2
+    Mr = m1 + m2 + jnp.cross(P1, f1, axis=-1) + jnp.cross(P2, f2, axis=-1)
+    R = jnp.concatenate([Fr, Mr], axis=-1)
+
+    eta_lb = 1.0 - eta_cust
+    eta_ub = eta_cust * jnp.ones_like(R[..., 0])
+    eta_lb = eta_lb * jnp.ones_like(R[..., 0])
+
+    dP = P1 - P2
+    # Mx bound
+    A = dP[..., 2] * R[..., 1] - dP[..., 1] * R[..., 2]
+    B = R[..., 3] + P2[..., 2] * R[..., 1] - P2[..., 1] * R[..., 2]
+    C = ratio_y * footwidth / 2.0 * jnp.abs(R[..., 2])
+    eta_lb, eta_ub = _eta_interval_update(A, B, C, eta_lb, eta_ub)
+    # My bound
+    A2 = -dP[..., 2] * R[..., 0] + dP[..., 0] * R[..., 2]
+    B2 = R[..., 4] - P2[..., 2] * R[..., 0] + P2[..., 0] * R[..., 2]
+    C2 = ratio_x * footlength / 2.0 * jnp.abs(R[..., 2])
+    eta_lb, eta_ub = _eta_interval_update(A2, B2, C2, eta_lb, eta_ub)
+    # Mz bound
+    A3 = -dP[..., 0] * R[..., 1] + dP[..., 1] * R[..., 0]
+    B3 = R[..., 5] + P2[..., 1] * R[..., 0] - P2[..., 0] * R[..., 1]
+    C3 = mu_static * jnp.abs(R[..., 2])
+    eta_lb, eta_ub = _eta_interval_update(A3, B3, C3, eta_lb, eta_ub)
+
+    eta_s = (-R[..., 3] - P2[..., 2] * R[..., 1] + P2[..., 1] * R[..., 2]) / A
+    eta = jnp.clip(eta_s, eta_lb, eta_ub)
+    eta = jnp.where((eta > eta_cust) | (eta < 1.0 - eta_cust), 0.5, eta)
+
+    e = eta[..., None]
+    M1_lin = (A * eta * eta + B * eta)
+    M2_lin = (A2 * eta * eta + B2 * eta)
+    M3_lin = (A3 * eta * eta + B3 * eta)
+    out1 = jnp.concatenate(
+        [e * R[..., 0:3], jnp.stack([M1_lin, M2_lin, M3_lin], axis=-1)], axis=-1
+    )
+    one_m = (1.0 - eta)[..., None]
+    M1_b = (A * eta + B)
+    M2_b = (A2 * eta + B2)
+    M3_b = (A3 * eta + B3)
+    out2 = jnp.concatenate(
+        [one_m * R[..., 0:3],
+         one_m * jnp.stack([M1_b, M2_b, M3_b], axis=-1)], axis=-1
+    )
+    return R, jnp.concatenate([out1, out2], axis=-1), eta
+
+
+def yaw_rotation(yaw):
+    """Rz(yaw) (rotateWithZ, src/math.cpp:55-72)."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, zero], axis=-1),
+            jnp.stack([s, c, zero], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )

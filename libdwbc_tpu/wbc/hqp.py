@@ -1,0 +1,159 @@
+"""Torque-level hierarchical QP stage assembly (OSF-HQP path).
+
+Pure-function equivalents of the reference's per-level QP builders:
+
+* ``CalcSingleTaskTorqueWithQP`` (/root/reference/src/dwbc.cpp:941-1127):
+  per hierarchy level, variables x = [δf* (task_dof); f_c,red (c-6)],
+  minimize ½‖δf*‖² subject to torque limits and contact cone/ZMP constraints
+  on the *resulting* torque τ_prev + N·J_ktΛ(f*+δf*) + NwJw·f_c.
+* ``CalcContactRedistribute`` (src/dwbc.cpp:1372-1620): final QP over
+  f_c,red only, minimizing ‖f_c,red‖² under the same constraints.
+
+All assembly is batched matmul; the QP is solved by the fixed-iteration IPM
+in ops/qp.py.  Shapes are static per (contact-mode, task-stack) config.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.qp import solve_qp
+
+_INF = 1.0e30
+
+
+def contact_constraint_blocks(const_mats, rotms):
+    """Stack per-contact constraint blocks into (n_const, total_cdof) and the
+    block-diagonal world→contact rotation (total_cdof, total_cdof).
+
+    const_mats: list of (k_i, 6) static blocks (ZMP rows + cone rows);
+    rotms: (..., n_contact, 3, 3) contact body rotations (body→world).
+    Mirrors the A_const_a / A_rot assembly at src/dwbc.cpp:1018-1039.
+    """
+    n_c = len(const_mats)
+    k_tot = sum(m.shape[0] for m in const_mats)
+    batch = rotms.shape[:-3]
+    dtype = rotms.dtype
+
+    A_const = jnp.zeros((k_tot, 6 * n_c), dtype=dtype)
+    r = 0
+    for i, m in enumerate(const_mats):
+        A_const = A_const.at[r : r + m.shape[0], 6 * i : 6 * i + 6].set(m)
+        r += m.shape[0]
+
+    A_rot = jnp.zeros(batch + (6 * n_c, 6 * n_c), dtype=dtype)
+    for i in range(n_c):
+        RT = jnp.swapaxes(rotms[..., i, :, :], -1, -2)
+        A_rot = A_rot.at[..., 6 * i : 6 * i + 3, 6 * i : 6 * i + 3].set(RT)
+        A_rot = A_rot.at[..., 6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6].set(RT)
+    return A_const, A_rot
+
+
+class TaskQPResult(NamedTuple):
+    f_star_delta: jnp.ndarray   # (t,)
+    contact_qp: jnp.ndarray     # (c-6,)
+    gap: jnp.ndarray
+    primal_res: jnp.ndarray
+
+
+def solve_task_level_qp(
+    Ntorque_task,    # (...,m,t)  task_null_prev @ J_kt @ Λ_t
+    f_star,          # (...,t)
+    torque_prev,     # (...,m)
+    NwJw,            # (...,m,cfree)
+    J_C_INV_T,       # (...,c,n)
+    P_C,             # (...,c)
+    A_const,         # (k,6nc) static
+    A_rot,           # (...,6nc,6nc)
+    torque_limit,    # (m,) or None
+    iters: int = 25,
+) -> TaskQPResult:
+    """One hierarchy level's QP (src/dwbc.cpp:941-1127)."""
+    m = Ntorque_task.shape[-2]
+    t = Ntorque_task.shape[-1]
+    cfree = NwJw.shape[-1]
+    k = A_const.shape[0]
+    dtype = Ntorque_task.dtype
+    nv = t + cfree
+
+    H = jnp.zeros((nv, nv), dtype=dtype)
+    H = H.at[jnp.arange(t), jnp.arange(t)].set(1.0)
+    g = jnp.zeros(nv, dtype=dtype)
+
+    tau_base = torque_prev + jnp.einsum("...mt,...t->...m", Ntorque_task, f_star)
+
+    rows = []
+    ubs = []
+    if torque_limit is not None:
+        blk = jnp.concatenate([Ntorque_task, NwJw], axis=-1)          # (...,m,nv)
+        rows.append(blk)
+        rows.append(-blk)
+        ubs.append(torque_limit - tau_base)
+        ubs.append(torque_limit + tau_base)
+
+    # contact cone/ZMP rows: -(A_const A_rot J̄ᵀ_act) [Ntorque | NwJw] x ≤ -bA
+    CM = A_const @ A_rot                                              # (...,k,6nc)
+    Atemp = CM @ J_C_INV_T[..., :, -m:]                               # (...,k,m)
+    blk_c = -jnp.concatenate(
+        [Atemp @ Ntorque_task, Atemp @ NwJw], axis=-1
+    )
+    rows.append(blk_c)
+    bA = jnp.einsum("...kc,...c->...k", CM, P_C) - jnp.einsum(
+        "...km,...m->...k", Atemp, tau_base
+    )
+    ubs.append(-bA)
+
+    A = jnp.concatenate(rows, axis=-2)
+    ub = jnp.concatenate(ubs, axis=-1)
+    lb = jnp.full_like(ub, -_INF)
+
+    sol = solve_qp(H, g, A, lb, ub, iters=iters)
+    return TaskQPResult(
+        f_star_delta=sol.x[..., :t],
+        contact_qp=sol.x[..., t:],
+        gap=sol.gap,
+        primal_res=sol.primal_res,
+    )
+
+
+def solve_contact_redistribution_qp(
+    torque_input,    # (...,m) τ_grav + τ_task + τ_contact so far
+    NwJw,            # (...,m,cfree)
+    J_C_INV_T,       # (...,c,n)
+    P_C,             # (...,c)
+    A_const,
+    A_rot,
+    torque_limit,
+    iters: int = 25,
+):
+    """Final redistribution QP over f_c,red (src/dwbc.cpp:1396-1561)."""
+    m = NwJw.shape[-2]
+    cfree = NwJw.shape[-1]
+    dtype = NwJw.dtype
+
+    H = jnp.eye(cfree, dtype=dtype)
+    g = jnp.zeros(cfree, dtype=dtype)
+
+    rows = []
+    ubs = []
+    if torque_limit is not None:
+        rows.append(NwJw)
+        rows.append(-NwJw)
+        ubs.append(torque_limit - torque_input)
+        ubs.append(torque_limit + torque_input)
+
+    CM = -(A_const @ A_rot)
+    JT_act = J_C_INV_T[..., :, -m:]
+    rows.append(CM @ JT_act @ NwJw)
+    ubs.append(
+        jnp.einsum("...kc,...c->...k", CM, P_C)
+        - jnp.einsum("...km,...m->...k", CM @ JT_act, torque_input)
+    )
+
+    A = jnp.concatenate(rows, axis=-2)
+    ub = jnp.concatenate(ubs, axis=-1)
+    lb = jnp.full_like(ub, -_INF)
+    sol = solve_qp(H, g, A, lb, ub, iters=iters)
+    return sol
