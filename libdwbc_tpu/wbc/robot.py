@@ -324,6 +324,277 @@ class RobotData:
         self.torque_contact_ = V2T @ jnp.linalg.inv(M) @ desired[6:12]
         return 1
 
+    # ------------------------------------------------- reduced (`_R`) path
+    def ReducedDynamicsCalculate(self, verbose=False):
+        from . import reduced as red
+
+        st = self.state
+        self._ridx = red.classify_chains(
+            self.model, [c.link for c in self.active_contacts()]
+        )
+        self.rdyn = red.reduced_dynamics(self.model, self._ridx, st)
+        return self.rdyn
+
+    def ReducedCalcContactConstraint(self):
+        from . import reduced as red
+
+        st = self.state
+        self.J_C = self._contact_jacobian(st)
+        self.cspace_r, self.J_CR = red.reduced_contact_space(
+            self._ridx, self.J_C, self.rdyn
+        )
+        # full-system contact space is still needed for nc-task Λ
+        # (the reference recomputes J_C_INV_T / N_C at src/dwbc.cpp:3104-3110)
+        self.cspace = dyn.contact_space(self.J_C, st.A_inv)
+        return 1
+
+    def ReducedCalcGravCompensation(self):
+        from . import reduced as red
+
+        tg_full, tgR, P_CR = red.reduced_gravity(
+            self._ridx, self.cspace_r, self.rdyn, self.state.G
+        )
+        self.torque_grav_ = tg_full
+        self.torque_grav_R_ = tgR
+        self.P_CR = P_CR
+        _, self.P_C = dyn.gravity_compensation(
+            self.state.A_inv, self.cspace.W_inv, self.cspace.N_C,
+            self.cspace.J_C_INV_T, self.state.G,
+        )
+        return np.asarray(tg_full)
+
+    def ReducedCalcTaskSpace(self):
+        """Task classification + reduced JKT (src/dwbc.cpp:3152-3253)."""
+        st = self.state
+        idx = self._ridx
+        rd = self.rdyn
+        csr = self.cspace_r
+        vcj, ncj = idx.vc_joints, idx.nc_joints
+        dtype = self.dtype
+
+        # base-link 6D JKT in reduced coords (src/dwbc.cpp:3159-3160)
+        J_base = st.J[0][..., :, : idx.reduced_system_dof]
+        self._J_base_R_kt, self._lambda_base_R = self._jkt_r(J_base)
+
+        co_set = set(idx.co_links)
+        self._rtasks = []
+        prev_null = jnp.eye(idx.reduced_model_dof, dtype=dtype)
+        nc_h = 0
+        for h, td in enumerate(self.ts_):
+            J_task = self._task_jacobian(st, h)
+            t = J_task.shape[-2]
+            is_cmm = any(tl.link == self.model.nbody for tl in td.links)
+            is_co = any(tl.link in co_set and tl.link != self.model.nbody for tl in td.links)
+            is_nc = any(
+                (tl.link not in co_set) and tl.link != self.model.nbody
+                for tl in td.links
+            )
+            JR = jnp.zeros((t, idx.reduced_system_dof), dtype=dtype)
+            JR = JR.at[..., :, : idx.vc_dof].set(J_task[..., :, vcj])
+            entry = dict(J_task=J_task, cmm=is_cmm, co=is_co, nc=is_nc, h=h)
+            if is_cmm or (is_co and not is_nc):
+                if is_cmm:
+                    JR = JR.at[..., :, idx.vc_dof :].set(
+                        J_task[..., :, ncj] @ jnp.swapaxes(rd.J_I_nc_inv_T, -1, -2)
+                    )
+                J_kt_R, Lambda = self._jkt_r(JR)
+                entry.update(J_task_R=JR, J_kt_R=J_kt_R, Lambda=Lambda)
+                null = dyn.task_null_space(
+                    J_kt_R, Lambda, JR, csr.A_inv_N_C, prev_null
+                )
+            elif is_nc and not is_co:
+                Lambda = dyn._psd_inv(
+                    J_task @ self.cspace.A_inv_N_C @ jnp.swapaxes(J_task, -1, -2)
+                )
+                J_task_NC = J_task[..., :, ncj]
+                JR = JR.at[..., :, idx.vc_dof :].set(
+                    J_task[..., :, ncj] @ jnp.swapaxes(rd.J_I_nc_inv_T, -1, -2)
+                )
+                entry.update(
+                    J_task_R=JR, J_kt_R=None, Lambda=Lambda,
+                    J_task_NC=J_task_NC, nc_h=nc_h,
+                )
+                nc_h += 1
+                null = prev_null  # nc tasks don't consume reduced null space
+            else:
+                raise NotImplementedError("mixed co+nc multi-link task")
+            entry["null"] = null
+            self._rtasks.append(entry)
+            prev_null = null
+
+    def _reduced_tlim(self, dtype):
+        """Torque limits in reduced coordinates: physical limits on the
+        contact-chain joints, unbounded on the 6 virtual lumped-body dofs.
+
+        (The reference slices torque_limit_[0:reduced_model_dof]
+        (src/dwbc.cpp:3513), which misapplies arbitrary joint limits to the
+        virtual dofs — its own reduced tests never set limits. We exempt the
+        virtual dofs instead.)"""
+        if self.torque_limit_ is None:
+            return None
+        import numpy as _np
+
+        co_act = self._ridx.co_joints - 6
+        tl = _np.concatenate([
+            _np.asarray(self.torque_limit_)[co_act], _np.full(6, _np.inf)
+        ])
+        return jnp.asarray(tl, dtype)
+
+    def _jkt_r(self, J_task_R):
+        """CalculateJKT_R (src/wbd.cpp:220-226)."""
+        csr = self.cspace_r
+        JAN = J_task_R @ csr.A_inv_N_C
+        Lambda = dyn._psd_inv(
+            0.5 * ((M := JAN @ jnp.swapaxes(J_task_R, -1, -2)) + jnp.swapaxes(M, -1, -2))
+        )
+        Q = (Lambda @ JAN)[..., :, 6:]
+        QT = jnp.swapaxes(Q, -1, -2)
+        QWQ = Q @ csr.W_inv @ QT
+        J_kt = csr.W_inv @ QT @ dyn._psd_inv(0.5 * (QWQ + jnp.swapaxes(QWQ, -1, -2)))
+        return J_kt, Lambda
+
+    def ReducedCalcTaskControlTorque(self, hqp: bool = True, init: bool = True,
+                                     calc_task_space: bool = True):
+        """src/dwbc.cpp:3255-3446."""
+        from .hqp import solve_task_level_qp
+
+        if calc_task_space:
+            self.ReducedCalcTaskSpace()
+        st = self.state
+        idx = self._ridx
+        rd = self.rdyn
+        csr = self.cspace_r
+        dtype = self.dtype
+        r_model = idx.reduced_model_dof
+        co, ncd = idx.co_dof, idx.nc_dof
+        vcj, ncj = idx.vc_joints, idx.nc_joints
+        R0 = st.R[0]
+
+        tlim = self._reduced_tlim(dtype)
+        A_const, A_rot = self._constraint_blocks(st)
+
+        torque_task_R = jnp.zeros(r_model, dtype=dtype)
+        torque_task_NC = jnp.zeros(ncd, dtype=dtype)
+        force_on_nc_r = jnp.zeros(6, dtype=dtype)
+        first_nc = None
+        self._r_qp_results = []
+
+        for e in self._rtasks:
+            h = e["h"]
+            fstar = jnp.asarray(self._fstars[h], dtype)
+            if e["nc"] and not e["co"]:
+                J_task = e["J_task"]
+                temp = jnp.swapaxes(J_task, -1, -2) @ (e["Lambda"] @ fstar)
+                torque_nc = temp[..., ncj]
+                f_on_nc = jnp.concatenate([temp[0:3], R0 @ temp[3:6]])
+                force_on_nc_r = force_on_nc_r + f_on_nc
+                th_R = jnp.zeros(r_model, dtype=dtype)
+                th_R = th_R.at[:co].set(self._J_base_R_kt[:co] @ f_on_nc)
+                th_R = th_R.at[co:].set(rd.J_I_nc_inv_T @ torque_nc)
+                if e["nc_h"] == 0:
+                    first_nc = e
+                    prev = self._rtasks[h - 1]["null"] if h > 0 else jnp.eye(r_model, dtype=dtype)
+                    e["torque_null_h_R"] = prev @ th_R
+                    e["torque_null_h_nc"] = torque_nc
+                else:
+                    prev_e = self._rtasks[h - 1]
+                    Jp = prev_e["J_task"]
+                    null_force = prev_e["Lambda"] @ (
+                        Jp @ (self.cspace.A_inv_N_C @ (jnp.swapaxes(J_task, -1, -2) @ (e["Lambda"] @ fstar)))
+                    )
+                    temp2 = jnp.swapaxes(Jp, -1, -2) @ null_force
+                    e["torque_null_h_nc"] = torque_nc - temp2[..., ncj]
+                    temp2 = temp2.at[3:6].set(R0 @ temp2[3:6])
+                    nthr = jnp.zeros(r_model, dtype=dtype)
+                    nthr = nthr.at[:co].set(
+                        th_R[:co] - self._J_base_R_kt[:co] @ temp2[0:6]
+                    )
+                    nthr = nthr.at[co:].set(
+                        rd.J_I_nc_inv_T
+                        @ (torque_nc - jnp.swapaxes(prev_e["J_task_NC"], -1, -2) @ null_force)
+                    )
+                    prev_null = self._rtasks[h - 1]["null"]
+                    e["torque_null_h_R"] = prev_null @ nthr
+                    force_on_nc_r = force_on_nc_r - temp2[0:6]
+                if not hqp:
+                    torque_task_R = torque_task_R + e["torque_null_h_R"]
+                    torque_task_NC = torque_task_NC + e["torque_null_h_nc"]
+            else:
+                prev_null = (
+                    jnp.eye(r_model, dtype=dtype) if h == 0 else self._rtasks[h - 1]["null"]
+                )
+                if hqp:
+                    Ntorque = prev_null @ e["J_kt_R"] @ e["Lambda"]
+                    res = solve_task_level_qp(
+                        Ntorque, fstar, self.torque_grav_R_ + torque_task_R,
+                        csr.NwJw, csr.J_C_INV_T, self.P_CR,
+                        A_const, A_rot, tlim, iters=self.qp_iters,
+                    )
+                    self._r_qp_results.append(res)
+                    th_R = e["J_kt_R"] @ e["Lambda"] @ (fstar + res.f_star_delta)
+                else:
+                    th_R = e["J_kt_R"] @ e["Lambda"] @ fstar
+                tn = th_R if h == 0 else prev_null @ th_R
+                torque_task_R = torque_task_R + tn
+
+        torque_task_R_qp = jnp.zeros(r_model, dtype=dtype)
+        if hqp:
+            # nc-chain resultant-force QP uses torque WITHOUT nc
+            # contributions (src/dwbc.cpp:3422), which are added after.
+            if first_nc is not None:
+                prev_null = (
+                    self._rtasks[first_nc["h"] - 1]["null"]
+                    if first_nc["h"] > 0 else jnp.eye(r_model, dtype=dtype)
+                )
+                res = solve_task_level_qp(
+                    prev_null @ self._J_base_R_kt, force_on_nc_r,
+                    self.torque_grav_R_ + torque_task_R,
+                    csr.NwJw, csr.J_C_INV_T, self.P_CR,
+                    A_const, A_rot, tlim, iters=self.qp_iters,
+                )
+                self._r_qp_results.append(res)
+                torque_task_R_qp = self._J_base_R_kt @ res.f_star_delta
+                torque_task_R_qp = torque_task_R_qp.at[co:].set(0.0)
+            for e in self._rtasks:
+                if e["nc"] and not e["co"]:
+                    torque_task_R = torque_task_R + e["torque_null_h_R"]
+                    torque_task_NC = torque_task_NC + e["torque_null_h_nc"]
+
+        # recomposition to full actuated torque (src/dwbc.cpp:3442-3443)
+        self.torque_task_R_ = torque_task_R
+        torque_task = jnp.zeros(self.model_dof_, dtype=dtype)
+        torque_task = torque_task.at[:co].set(
+            torque_task_R[:co] + torque_task_R_qp[:co]
+        )
+        torque_task = torque_task.at[co:].set(
+            jnp.swapaxes(rd.J_I_nc, -1, -2) @ torque_task_R[co:]
+            + rd.N_I_nc @ torque_task_NC
+        )
+        self.torque_task_ = torque_task
+        self.torque_contact_ = jnp.zeros(self.model_dof_, dtype=dtype)
+        return 1
+
+    def ReducedCalcContactRedistribute(self, hqp: bool = True, init: bool = True):
+        """src/dwbc.cpp:3758-3770 + CalcContactRedistributeR (4776-4992)."""
+        from .hqp import solve_contact_redistribution_qp
+
+        idx = self._ridx
+        csr = self.cspace_r
+        dtype = self.dtype
+        r_model = idx.reduced_model_dof
+        torque_input = self.torque_grav_R_ + self.torque_task_R_
+        tlim = self._reduced_tlim(dtype)
+        A_const, A_rot = self._constraint_blocks(self.state)
+        sol = solve_contact_redistribution_qp(
+            torque_input, csr.NwJw, csr.J_C_INV_T, self.P_CR,
+            A_const, A_rot, tlim, iters=self.qp_iters,
+        )
+        tcR = csr.NwJw @ sol.x
+        tc = jnp.zeros(self.model_dof_, dtype=dtype)
+        tc = tc.at[: self.contact_dof_].set(tcR[: self.contact_dof_])
+        self.torque_contact_ = tc
+        return 1
+
     # ------------------------------------------------------------ observers
     def getContactForce(self, command_torque):
         return np.asarray(
