@@ -54,8 +54,14 @@ def _one_sided(A, lb, ub):
 
 
 @partial(jax.jit, static_argnames=("iters", "ridge"))
-def solve_qp(H, g, A, lb, ub, iters: int = 30, ridge: float = 1.0e-9) -> QPSolution:
+def solve_qp(
+    H, g, A, lb, ub, Aeq=None, beq=None, iters: int = 30, ridge: float = 1.0e-9
+) -> QPSolution:
     """Solve one (or a batch of) dense QPs.  All args broadcast on leading dims.
+
+    Optional explicit equality constraints Aeq x = beq are handled inside the
+    KKT system (an interior-point method cannot treat lb==ub rows — the
+    feasible set has no interior).
 
     iters: static IPM iteration count (30 reaches ~1e-9 on well-scaled
     problems; polish then drives exact-vertex accuracy).
@@ -67,6 +73,7 @@ def solve_qp(H, g, A, lb, ub, iters: int = 30, ridge: float = 1.0e-9) -> QPSolut
     dtype = H.dtype
     C, d = _one_sided(A, lb, ub)
     m = C.shape[-2]
+    p = Aeq.shape[-2] if Aeq is not None else 0
 
     Hr = H + ridge * jnp.eye(n, dtype=dtype)
 
@@ -76,39 +83,59 @@ def solve_qp(H, g, A, lb, ub, iters: int = 30, ridge: float = 1.0e-9) -> QPSolut
 
     CT = jnp.swapaxes(C, -1, -2)
 
-    def newton_step(x, s, lam, sigma_mu):
-        """Solve the perturbed KKT system for (dx, ds, dlam)."""
+    def newton_step(x, s, lam, nu, sigma_mu):
+        """Solve the perturbed KKT system for (dx, ds, dlam[, dnu])."""
         s_safe = jnp.maximum(s, 1e-14)
         r_d = jnp.einsum("...ij,...j->...i", Hr, x) + g + jnp.einsum(
             "...ji,...j->...i", C, lam
         )
+        if Aeq is not None:
+            r_d = r_d + jnp.einsum("...ji,...j->...i", Aeq, nu)
         r_p = jnp.einsum("...ij,...j->...i", C, x) + s - d
         r_c = s * lam - sigma_mu
         w = jnp.clip(lam / s_safe, 0.0, 1e12)
-        # reduced system: (H + Cᵀ diag(w) C) dx = -r_d - Cᵀ (w r_p - r_c/s)
+        # reduced system: (H + Cᵀ diag(w) C) dx + Aeqᵀ dnu = -r_d - Cᵀ(w r_p - r_c/s)
         K = Hr + jnp.einsum("...ji,...j,...jk->...ik", C, w, C)
         rhs = -r_d - jnp.einsum(
             "...ji,...j->...i", C, w * r_p - r_c / s_safe
         )
         L = jnp.linalg.cholesky(K)
-        dx = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+        if Aeq is not None:
+            r_e = jnp.einsum("...ij,...j->...i", Aeq, x) - beq
+            Kinv_At = jax.scipy.linalg.cho_solve(
+                (L, True), jnp.swapaxes(Aeq, -1, -2)
+            )
+            Kinv_rhs = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+            S = Aeq @ Kinv_At + ridge * jnp.eye(p, dtype=dtype)
+            dnu = jnp.linalg.solve(
+                S, (jnp.einsum("...ij,...j->...i", Aeq, Kinv_rhs) + r_e)[..., None]
+            )[..., 0]
+            dx = Kinv_rhs - jnp.einsum("...ij,...j->...i", Kinv_At, dnu)
+        else:
+            dx = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+            dnu = nu
         ds = -(r_p + jnp.einsum("...ij,...j->...i", C, dx))
         dlam = -(r_c + lam * ds) / s_safe
-        return dx, ds, dlam
+        return dx, ds, dlam, dnu
 
     def alpha_max(v, dv, tau=0.995):
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), _BIG)
         return jnp.minimum(1.0, tau * jnp.min(ratio, axis=-1))
 
+    nu0 = (
+        jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype) if Aeq is not None
+        else jnp.zeros(x0.shape[:-1] + (0,), dtype=dtype)
+    )
+
     def body(carry, _):
-        x, s, lam = carry
+        x, s, lam, nu = carry
         mu = jnp.sum(s * lam, axis=-1) / m
         # Freeze converged lanes: once mu is tiny the scaled Newton system is
         # too ill-conditioned to help — take a zero step (static shape, no
         # data-dependent control flow).
         live = (mu > 1e-13).astype(dtype)
         # predictor (affine) step
-        dx_a, ds_a, dlam_a = newton_step(x, s, lam, jnp.zeros_like(s))
+        dx_a, ds_a, dlam_a, dnu_a = newton_step(x, s, lam, nu, jnp.zeros_like(s))
         a_p = alpha_max(s, ds_a)
         a_d = alpha_max(lam, dlam_a)
         mu_aff = jnp.sum(
@@ -117,43 +144,65 @@ def solve_qp(H, g, A, lb, ub, iters: int = 30, ridge: float = 1.0e-9) -> QPSolut
         sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
         # corrector step with Mehrotra centering + second-order term
         target = (sigma * mu)[..., None] - ds_a * dlam_a
-        dx, ds, dlam = newton_step(x, s, lam, target)
+        dx, ds, dlam, dnu = newton_step(x, s, lam, nu, target)
         a_p = alpha_max(s, ds)
         a_d = alpha_max(lam, dlam)
         a = (live * jnp.minimum(a_p, a_d))[..., None]
         dx = jnp.nan_to_num(dx)
         ds = jnp.nan_to_num(ds)
         dlam = jnp.nan_to_num(dlam)
-        return (x + a * dx, s + a * ds, lam + a * dlam), None
+        dnu = jnp.nan_to_num(dnu)
+        return (x + a * dx, s + a * ds, lam + a * dlam, nu + a * dnu), None
 
-    (x, s, lam), _ = jax.lax.scan(body, (x0, s0, lam0), None, length=iters)
+    (x, s, lam, nu), _ = jax.lax.scan(body, (x0, s0, lam0, nu0), None, length=iters)
 
     # ------------------------------------------------------------- polish
     # Active set from the converged central path: λ dominates s on active rows.
     act = (lam > s).astype(dtype)
-    # KKT with inactive multipliers pinned to zero:
-    #   [ H        Cᵀ·diag(a) ] [x]   [ -g    ]
-    #   [ diag(a)C  -(1-a)I   ] [ν] = [ a∘d   ]
+    # KKT with inactive multipliers pinned to zero (equalities always active):
+    #   [ H        Cᵀ·diag(a)  Aeqᵀ ] [x]   [ -g    ]
+    #   [ diag(a)C  -(1-a)I     0   ] [ν] = [ a∘d   ]
+    #   [ Aeq         0         0   ] [µ]   [ beq   ]
     K_tl = Hr
     K_tr = CT * act[..., None, :]
     K_bl = C * act[..., :, None]
     K_br = -jnp.eye(m, dtype=dtype) * (1.0 - act[..., None, :]) - ridge * jnp.eye(
         m, dtype=dtype
     )
-    K = jnp.concatenate(
-        [
-            jnp.concatenate([K_tl, K_tr], axis=-1),
-            jnp.concatenate([K_bl, K_br], axis=-1),
-        ],
-        axis=-2,
-    )
-    rhs = jnp.concatenate([-g * jnp.ones_like(x), act * d], axis=-1)
+    top = jnp.concatenate([K_tl, K_tr], axis=-1)
+    mid = jnp.concatenate([K_bl, K_br], axis=-1)
+    rows = [top, mid]
+    rhs_parts = [-g * jnp.ones_like(x), act * d]
+    if Aeq is not None:
+        b_ = jnp.broadcast_shapes(top.shape[:-2], Aeq.shape[:-2])
+        top = jnp.concatenate(
+            [top, jnp.broadcast_to(jnp.swapaxes(Aeq, -1, -2)[..., :n, :],
+                                   top.shape[:-2] + (n, p))], axis=-1
+        )
+        mid = jnp.concatenate(
+            [mid, jnp.zeros(mid.shape[:-1] + (p,), dtype=dtype)], axis=-1
+        )
+        bot = jnp.concatenate(
+            [jnp.broadcast_to(Aeq, mid.shape[:-2] + (p, n)),
+             jnp.zeros(mid.shape[:-2] + (p, m), dtype=dtype),
+             -ridge * jnp.eye(p, dtype=dtype)
+             * jnp.ones(mid.shape[:-2] + (1, 1), dtype=dtype)], axis=-1
+        )
+        rows = [top, mid, bot]
+        rhs_parts = [-g * jnp.ones_like(x), act * d, beq * jnp.ones(x.shape[:-1] + (p,), dtype=dtype)]
+    K = jnp.concatenate(rows, axis=-2)
+    rhs = jnp.concatenate(rhs_parts, axis=-1)
     sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
-    x_p, lam_p = sol[..., :n], sol[..., n:]
+    x_p, lam_p = sol[..., :n], sol[..., n : n + m]
 
     def metrics(xv, lv):
         slack = d - jnp.einsum("...ij,...j->...i", C, xv)
         pres = jnp.max(jnp.maximum(-slack, 0.0), axis=-1)
+        if Aeq is not None:
+            eq_res = jnp.max(
+                jnp.abs(jnp.einsum("...ij,...j->...i", Aeq, xv) - beq), axis=-1
+            )
+            pres = jnp.maximum(pres, eq_res)
         gap = jnp.abs(jnp.sum(slack * lv, axis=-1)) / m
         return pres, gap
 

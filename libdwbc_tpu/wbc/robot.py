@@ -324,6 +324,120 @@ class RobotData:
         self.torque_contact_ = V2T @ jnp.linalg.inv(M) @ desired[6:12]
         return 1
 
+    # ------------------------------------------- LQP (acceleration-level)
+    def getContactConstraintMatrix(self):
+        """C = -A_const·A_rot (src/dwbc.cpp:480-513)."""
+        A_const, A_rot = self._constraint_blocks(self.state)
+        return -(A_const @ A_rot)
+
+    def ConfigureLQP(self, init: bool = True):
+        """Build the acceleration-level lexicographic cascade
+        (src/dwbc.cpp:4304-4430)."""
+        from . import lqp
+
+        st = self.state
+        task_Js = [self._task_jacobian(st, h) for h in range(len(self.ts_))]
+        task_fs = [jnp.asarray(self._fstars[h], self.dtype) for h in range(len(self.ts_))]
+        self.J_C = self._contact_jacobian(st)
+        self._lqp_levels = lqp.build_lqp_levels(
+            st.A, st.B, self.J_C, self.getContactConstraintMatrix(),
+            task_Js, task_fs,
+        )
+        n, c = self.model.ndof, self.J_C.shape[-2]
+        y0 = jnp.zeros(n + c, dtype=self.dtype)
+        y0 = y0.at[:n].set(-st.A_inv @ st.B)
+        self._lqp_y0 = y0
+        return 1
+
+    def CalcControlTorqueLQP(self, init: bool = True):
+        """Solve the cascade and recover actuated torque (src/dwbc.cpp:4432)."""
+        from . import lqp
+
+        res = lqp.solve_cascade(
+            self._lqp_levels, self._lqp_y0, qp_iters=self.qp_iters
+        )
+        self.lqp_result = res
+        st = self.state
+        self.torque_lqp_ = lqp.lqp_torque_from_solution(
+            res.y, st.A, st.B, self.J_C
+        )
+        return np.asarray(self.torque_lqp_)
+
+    # ------------------------------------- acceleration-level JACC QPs
+    def CalcTaskControlTorqueJACC(self, init: bool = True):
+        """Per-level acceleration QP over x=[q̈; τ; f_c; δf*] with the full
+        EoM as an equality constraint (``CalcSingleTaskTorqueWithJACC_QP``,
+        src/dwbc.cpp:3772-3944).  Returns the last level's torque."""
+        from ..ops.qp import solve_qp
+
+        st = self.state
+        n = self.model.ndof
+        mdof = self.model_dof_
+        c = self.contact_dof_
+        dtype = self.dtype
+        self.J_C = self._contact_jacobian(st)
+        CCM = self.getContactConstraintMatrix()  # (10nc, c)
+
+        prev = []  # (J_task, fstar_total)
+        result = None
+        for h in range(len(self.ts_)):
+            J_task = self._task_jacobian(st, h)
+            t = J_task.shape[-2]
+            fstar = jnp.asarray(self._fstars[h], dtype)
+            nv = n + mdof + c + t
+            a_i, t_i, c_i, d_i = 0, n, n + mdof, n + mdof + c
+
+            H = jnp.zeros((nv, nv), dtype=dtype)
+            H = H.at[:n, :n].set(st.A)
+            H = H.at[d_i:, d_i:].set(100.0 * jnp.eye(t, dtype=dtype))
+            g = jnp.zeros(nv, dtype=dtype)
+
+            # equalities: EoM, contact, previous tasks, current task
+            eqs = []
+            ebs = []
+            ST = jnp.zeros((n, mdof), dtype=dtype).at[6:, :].set(jnp.eye(mdof, dtype=dtype))
+            row = jnp.zeros((n, nv), dtype=dtype)
+            row = row.at[:, :n].set(st.A).at[:, t_i:c_i].set(-ST)
+            row = row.at[:, c_i:d_i].set(jnp.swapaxes(self.J_C, -1, -2))
+            eqs.append(row)
+            ebs.append(-st.G)
+            row = jnp.zeros((c, nv), dtype=dtype).at[:, :n].set(self.J_C)
+            eqs.append(row)
+            ebs.append(jnp.zeros(c, dtype=dtype))
+            for (Jp, fp) in prev:
+                tp = Jp.shape[-2]
+                row = jnp.zeros((tp, nv), dtype=dtype).at[:, :n].set(Jp)
+                eqs.append(row)
+                ebs.append(fp)
+            row = jnp.zeros((t, nv), dtype=dtype).at[:, :n].set(J_task)
+            row = row.at[:, d_i:].set(-jnp.eye(t, dtype=dtype))
+            eqs.append(row)
+            ebs.append(fstar)
+            Aeq = jnp.concatenate(eqs, axis=0)
+            beq = jnp.concatenate(ebs, axis=0)
+
+            # inequalities: contact cones + box bounds on q̈_joints, τ
+            rows = [jnp.zeros((CCM.shape[0], nv), dtype=dtype).at[:, c_i:d_i].set(CCM)]
+            ubs = [jnp.zeros(CCM.shape[0], dtype=dtype)]
+            eye_m = jnp.eye(mdof, dtype=dtype)
+            qdd_rows = jnp.zeros((mdof, nv), dtype=dtype).at[:, 6:n].set(eye_m)
+            tau_rows = jnp.zeros((mdof, nv), dtype=dtype).at[:, t_i:c_i].set(eye_m)
+            rows += [qdd_rows, -qdd_rows, tau_rows, -tau_rows]
+            ubs += [jnp.full(mdof, 10.0, dtype)] * 2 + [jnp.full(mdof, 200.0, dtype)] * 2
+            A = jnp.concatenate(rows, axis=0)
+            ub = jnp.concatenate(ubs, axis=0)
+            lb = jnp.full_like(ub, -1e30)
+
+            sol = solve_qp(H, g, A, lb, ub, Aeq, beq, iters=self.qp_iters)
+            delta = sol.x[d_i:]
+            prev.append((J_task, fstar + delta))
+            result = sol
+
+        self.jacc_result = result
+        self.torque_jacc_ = result.x[n : n + mdof]
+        self.acc_jacc_ = result.x[:n]
+        return np.asarray(self.torque_jacc_)
+
     # ------------------------------------------------- reduced (`_R`) path
     def ReducedDynamicsCalculate(self, verbose=False):
         from . import reduced as red

@@ -1,0 +1,79 @@
+"""Acceleration-level solvers: LQP lexicographic cascade + JACC per-level QPs.
+
+The reference validates these by cross-family comparison (sp_test/
+jacc_compare.cpp): torque-level HQP, acceleration-level JACC, and LQP must
+produce similar torques on the same state. No goldens exist; we assert
+(a) internal optimality/feasibility, (b) cross-family similarity.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import make_standard_robot
+
+MILD_F1 = np.array([0.05, 0.1, 0.05, 0.02, -0.02, 0.03])
+MILD_F2 = np.array([0.02, -0.02, 0.02])
+
+
+@pytest.fixture(scope="module")
+def hqp_robot():
+    rd = make_standard_robot(1)
+    rd.SetTaskSpace(0, MILD_F1)
+    rd.SetTaskSpace(1, MILD_F2)
+    rd.CalcContactConstraint()
+    rd.CalcGravCompensation()
+    rd.CalcTaskControlTorque(True)
+    rd.CalcContactRedistribute(True)
+    return rd
+
+
+def test_lqp_hierarchy_semantics(hqp_robot):
+    rd = hqp_robot
+    rd.ConfigureLQP()
+    tau = rd.CalcControlTorqueLQP()
+    res = rd.lqp_result
+    st = rd.state
+    y = np.asarray(res.y)
+    qdd, fc = y[:39], y[39:]
+    # L0 equality: floating-base Newton-Euler rows exactly satisfied
+    ne = np.asarray(st.A)[:6] @ qdd + np.asarray(st.B)[:6] + np.asarray(rd.J_C).T[:6] @ fc
+    assert np.linalg.norm(ne) < 1e-8
+    # L1 equality: no contact acceleration
+    assert np.linalg.norm(np.asarray(rd.J_C) @ qdd) < 1e-4
+    # torque limits (L0 inequality, limit 200 per the builder)
+    assert np.abs(tau).max() <= 200.0 + 1e-6
+    assert np.isfinite(tau).all()
+
+
+def test_lqp_similar_to_hqp(hqp_robot):
+    rd = hqp_robot
+    tau_hqp = rd.torque_command()
+    rd.ConfigureLQP()
+    tau_lqp = rd.CalcControlTorqueLQP()
+    # different formulation, same physics: torques agree to a few percent
+    assert np.linalg.norm(tau_lqp - tau_hqp) < 0.1 * np.linalg.norm(tau_hqp)
+
+
+def test_jacc_similar_to_hqp(hqp_robot):
+    rd = hqp_robot
+    rd.qp_iters = 60
+    tau_hqp = rd.torque_command()
+    tau_jacc = rd.CalcTaskControlTorqueJACC()
+    assert float(rd.jacc_result.primal_res) < 1e-8
+    assert np.linalg.norm(tau_jacc - tau_hqp) < 0.1 * np.linalg.norm(tau_hqp)
+    rd.qp_iters = 25
+
+
+def test_jacc_dynamics_consistency(hqp_robot):
+    """The JACC solution satisfies the full EoM: A q̈ + G = Sᵀτ − J_Cᵀ f_c."""
+    rd = hqp_robot
+    rd.qp_iters = 60
+    rd.CalcTaskControlTorqueJACC()
+    st = rd.state
+    x = np.asarray(rd.jacc_result.x)
+    n, m, c = 39, 33, 12
+    qdd, tau, fc = x[:n], x[n : n + m], x[n + m : n + m + c]
+    lhs = np.asarray(st.A) @ qdd + np.asarray(st.G)
+    rhs = np.concatenate([np.zeros(6), tau]) - np.asarray(rd.J_C).T @ fc
+    assert np.linalg.norm(lhs - rhs) < 1e-7
+    rd.qp_iters = 25
