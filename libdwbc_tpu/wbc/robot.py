@@ -41,6 +41,8 @@ class RobotData:
         self.torque_limit_: np.ndarray | None = None
         self._fstars: dict[int, np.ndarray] = {}
         self._custom_J: dict[int, np.ndarray] = {}
+        self._traj: dict[tuple, dict] = {}
+        self.control_time_ = 0.0
         self.state: KinState | None = None
         # results of the last tick (numpy views for user inspection)
         self.torque_grav_ = None
@@ -139,6 +141,93 @@ class RobotData:
         self._fstars[heirarchy] = np.asarray(f_star, dtype=np.float64)
         if J_task is not None:
             self._custom_J[heirarchy] = np.asarray(J_task, dtype=np.float64)
+
+    # --------------------------------------------- trajectory servo layer
+    # (TaskLink::SetTrajectoryQuintic / SetTrajectoryRotation / SetTaskGain,
+    #  src/task.cpp:223-266; f* dispatch in UpdateTaskSpace,
+    #  src/dwbc.cpp:685-793)
+    def SetTaskGain(self, heirarchy, pos_p, pos_d, pos_a, rot_p, rot_d, rot_a,
+                    link_idx: int = 0):
+        self._traj.setdefault((heirarchy, link_idx), {})["gains"] = tuple(
+            np.asarray(v, dtype=np.float64) for v in (pos_p, pos_d, pos_a, rot_p, rot_d, rot_a)
+        )
+
+    def SetTrajectoryQuintic(self, heirarchy, start_time, end_time,
+                             pos_init, vel_init, pos_desired, vel_desired,
+                             link_idx: int = 0):
+        self._traj.setdefault((heirarchy, link_idx), {})["pos"] = (
+            float(start_time), float(end_time),
+            np.asarray(pos_init, float), np.asarray(vel_init, float),
+            np.asarray(pos_desired, float), np.asarray(vel_desired, float),
+        )
+
+    def SetTrajectoryRotation(self, heirarchy, start_time, end_time,
+                              rot_init, twist_init, rot_desired, twist_desired,
+                              link_idx: int = 0):
+        self._traj.setdefault((heirarchy, link_idx), {})["rot"] = (
+            float(start_time), float(end_time),
+            np.asarray(rot_init, float), np.asarray(twist_init, float),
+            np.asarray(rot_desired, float), np.asarray(twist_desired, float),
+        )
+
+    def UpdateTaskSpace(self, control_time: float | None = None):
+        """Refresh trajectory-servo f* for every task link with an active
+        trajectory (the reference does this inside UpdateTaskSpace)."""
+        from ..utils import traj as TJ
+
+        if control_time is not None:
+            self.control_time_ = float(control_time)
+        t = getattr(self, "control_time_", 0.0)
+        st = self.state
+        for h, td in enumerate(self.ts_):
+            if td.custom_dof:
+                continue
+            cursor = 0
+            fstar = np.array(
+                self._fstars.get(h, np.zeros(td.task_dof)), dtype=np.float64
+            )
+            if fstar.shape[0] != td.task_dof:
+                fstar = np.zeros(td.task_dof)
+            for j, tl in enumerate(td.links):
+                cfg = self._traj.get((h, j), None)
+                tdof = tl.t_dof
+                if cfg:
+                    gains = cfg.get("gains")
+                    if tl.mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
+                                   T.TASK_LINK_6D_CUSTOM_FRAME,
+                                   T.TASK_LINK_POSITION,
+                                   T.TASK_LINK_POSITION_COM_FRAME,
+                                   T.TASK_LINK_POSITION_CUSTOM_FRAME) and "pos" in cfg:
+                        t0, tf, pi, vi, pd_, vd = cfg["pos"]
+                        if tl.mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
+                            cur_p = np.asarray(st.com_w[tl.link]) if tl.link < self.model.nbody else np.asarray(st.com_pos)
+                            cur_v = np.asarray(st.v[tl.link]) if tl.link < self.model.nbody else np.asarray(st.com_vel)
+                        else:
+                            cur_p = np.asarray(st.p[tl.link]) if tl.link < self.model.nbody else np.asarray(st.com_pos)
+                            cur_v = np.asarray(st.v[tl.link]) if tl.link < self.model.nbody else np.asarray(st.com_vel)
+                        f, _, _ = TJ.fstar_pos_pd(
+                            t, t0, tf, jnp.asarray(pi), jnp.asarray(vi),
+                            jnp.asarray(pd_), jnp.asarray(vd),
+                            jnp.asarray(cur_p), jnp.asarray(cur_v),
+                            jnp.asarray(gains[0]), jnp.asarray(gains[1]), jnp.asarray(gains[2]),
+                        )
+                        fstar[cursor : cursor + 3] = np.asarray(f)
+                    if tl.mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
+                                   T.TASK_LINK_6D_CUSTOM_FRAME,
+                                   T.TASK_LINK_ROTATION,
+                                   T.TASK_LINK_ROTATION_CUSTOM_FRAME) and "rot" in cfg:
+                        t0, tf, ri, wi, rdes, wdes = cfg["rot"]
+                        off = 3 if tdof == 6 else 0
+                        link = min(tl.link, self.model.nbody - 1)
+                        f, _, _ = TJ.fstar_rot_pd(
+                            t, t0, tf, jnp.asarray(ri), jnp.asarray(wi),
+                            jnp.asarray(rdes), jnp.asarray(wdes),
+                            st.R[link], st.w[link],
+                            jnp.asarray(gains[3]), jnp.asarray(gains[4]),
+                        )
+                        fstar[cursor + off : cursor + off + 3] = np.asarray(f)
+                cursor += tdof
+            self._fstars[h] = fstar
 
     # -------------------------------------------------------- kinematics
     def UpdateKinematics(self, q, qdot, qddot=None, update_kinematics=True):
@@ -323,6 +412,75 @@ class RobotData:
         M = self.cspace.J_C_INV_T[..., :, -m:][..., 6:12, :] @ V2T
         self.torque_contact_ = V2T @ jnp.linalg.inv(M) @ desired[6:12]
         return 1
+
+    # ------------------------------------------------------ model surgery
+    # (reference mutates RBDL internals + renumbers, src/dwbc.cpp:1821-2382;
+    #  here: pure recompilation + name-based renumbering)
+    def _apply_surgery(self, new_model):
+        old_names = self.model.body_names
+        cc_names = [old_names[c.link] for c in self.cc_]
+        ts_names = [
+            [old_names[tl.link] if tl.link < len(old_names) else "COM" for tl in td.links]
+            for td in self.ts_
+        ]
+        self.model = new_model
+        self.kin = Kinematics(new_model)
+        kept = {nm: i for i, nm in enumerate(new_model.body_names)}
+        self.cc_ = [
+            T.ContactDef(**{**c.__dict__, "link": kept[nm]})
+            for c, nm in zip(self.cc_, cc_names) if nm in kept
+        ]
+        new_ts = []
+        for td, names in zip(self.ts_, ts_names):
+            links = [
+                T.TaskLinkDef(tl.mode, kept[nm] if nm in kept else new_model.nbody, tl.task_point)
+                for tl, nm in zip(td.links, names)
+                if nm in kept or nm == "COM"
+            ]
+            new_ts.append(T.TaskDef(links=links, custom_dof=td.custom_dof))
+        self.ts_ = new_ts
+        self.state = None
+
+    def DeleteLink(self, link, verbose=False):
+        from ..model import surgery
+
+        if isinstance(link, str):
+            link = self.model.body_index(link)
+        self._apply_surgery(surgery.delete_subtree(self.model, int(link)))
+
+    def ChangeLinkToFixedJoint(self, link, verbose=False):
+        from ..model import surgery
+
+        if isinstance(link, str):
+            link = self.model.body_index(link)
+        self._apply_surgery(surgery.change_link_to_fixed(self.model, int(link)))
+
+    def AddLink(self, parent, name, joint_type, axis, origin_xyz, origin_rpy,
+                mass, com, inertia, verbose=False):
+        from ..model import surgery
+
+        if isinstance(parent, str):
+            parent = self.model.body_index(parent)
+        self._apply_surgery(
+            surgery.add_link(
+                self.model, int(parent), name, joint_type,
+                np.asarray(axis, float), np.asarray(origin_xyz, float),
+                np.asarray(origin_rpy, float), float(mass),
+                np.asarray(com, float), np.asarray(inertia, float),
+            )
+        )
+
+    def ChangeLinkInertia(self, link, mass, com, inertia, verbose=False):
+        from ..model import surgery
+
+        if isinstance(link, str):
+            link = self.model.body_index(link)
+        self._apply_surgery(
+            surgery.change_link_inertia(
+                self.model, int(link), float(mass),
+                np.asarray(com, float), np.asarray(inertia, float),
+            )
+        )
 
     # ------------------------------------------- LQP (acceleration-level)
     def getContactConstraintMatrix(self):
