@@ -78,7 +78,14 @@ def solve_qp(
     dtype = H.dtype
     f32 = dtype == jnp.float32
     ridge = max(ridge, 1e-6) if f32 else ridge
-    C, d = _one_sided(A, lb, ub)
+    if lb is None:
+        # fast path: one-sided constraints Ax ≤ ub (all lower bounds -inf);
+        # halves the constraint stack vs the generic two-sided conversion
+        ub_f = jnp.isfinite(ub) & (jnp.abs(ub) < _BIG)
+        C = A * ub_f[..., :, None]
+        d = jnp.where(ub_f, ub, 1.0)
+    else:
+        C, d = _one_sided(A, lb, ub)
     m = C.shape[-2]
     p = Aeq.shape[-2] if Aeq is not None else 0
 

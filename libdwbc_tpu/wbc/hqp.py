@@ -107,9 +107,8 @@ def solve_task_level_qp(
 
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
-    lb = jnp.full_like(ub, -_INF)
 
-    sol = solve_qp(H, g, A, lb, ub, iters=iters)
+    sol = solve_qp(H, g, A, None, ub, iters=iters)
     return TaskQPResult(
         f_star_delta=sol.x[..., :t],
         contact_qp=sol.x[..., t:],
@@ -154,6 +153,5 @@ def solve_contact_redistribution_qp(
 
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
-    lb = jnp.full_like(ub, -_INF)
-    sol = solve_qp(H, g, A, lb, ub, iters=iters)
+    sol = solve_qp(H, g, A, None, ub, iters=iters)
     return sol

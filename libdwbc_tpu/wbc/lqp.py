@@ -150,8 +150,7 @@ def solve_cascade(
         if rows:
             Am = jnp.concatenate(rows, axis=-2)
             ub = jnp.concatenate(ubs, axis=-1)
-            lb = jnp.full_like(ub, -_INF)
-            sol = solve_qp(H, g, Am, lb, ub, iters=qp_iters)
+            sol = solve_qp(H, g, Am, None, ub, iters=qp_iters)
             x = sol.x
             sgap, spres = sol.gap, sol.primal_res
         else:

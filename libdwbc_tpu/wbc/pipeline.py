@@ -175,7 +175,7 @@ class CompiledTick:
                 tf.J_kt, tf.Lambda_task, J_task, cs.A_inv_N_C, prev_null
             )
 
-        if cfg.use_hqp:
+        if cfg.use_hqp and cs.NwJw.shape[-1] > 0:
             torque_input = torque_grav + torque_task + torque_contact
             sol = solve_contact_redistribution_qp(
                 torque_input, cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,

@@ -584,9 +584,8 @@ class RobotData:
             ubs += [jnp.full(mdof, 10.0, dtype)] * 2 + [jnp.full(mdof, 200.0, dtype)] * 2
             A = jnp.concatenate(rows, axis=0)
             ub = jnp.concatenate(ubs, axis=0)
-            lb = jnp.full_like(ub, -1e30)
 
-            sol = solve_qp(H, g, A, lb, ub, Aeq, beq, iters=self.qp_iters)
+            sol = solve_qp(H, g, A, None, ub, Aeq, beq, iters=self.qp_iters)
             delta = sol.x[d_i:]
             prev.append((J_task, fstar + delta))
             result = sol
