@@ -41,7 +41,8 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float):
         w_cap = 1e8 if f32 else 1e12
         mu_tol = 5e-8 if f32 else 1e-13
 
-        Hr = H + ridge * jnp.eye(n, dtype=H.dtype)[:, :, None, None]
+        # (ridge folded into matvec_H / gram below — Mosaic cannot reshape a
+        #  2D eye into the 4D tile layout)
 
         def chol(K):
             """(n, n, 8, 128) unrolled Cholesky, batch in the trailing tile."""
@@ -87,13 +88,29 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float):
             return jnp.sum(C * v[:, None], axis=0)
 
         def matvec_H(x):
-            return jnp.einsum("ijsl,jsl->isl", Hr, x)
+            # explicit row loop: Mosaic cannot lower multi-batch-dim einsums
+            rows = []
+            for i in range(n):
+                acc = H[i, 0] * x[0] + ridge * x[i]
+                for j in range(1, n):
+                    acc = acc + H[i, j] * x[j]
+                rows.append(acc)
+            return jnp.stack(rows, axis=0)
 
         def gram(w):
-            """K = Hr + Cᵀ diag(w) C  — contraction over m via jnp.sum."""
+            """K = Hr + Cᵀ diag(w) C — per-element reductions over m
+            (the batch tile stays on the VPU lanes; symmetric half only)."""
             Cw = C * w[:, None]
-            K = jnp.einsum("misl,mjsl->ijsl", Cw, C)
-            return Hr + K
+            cache = {}
+            for i in range(n):
+                for j in range(i + 1):
+                    cache[(i, j)] = H[i, j] + jnp.sum(Cw[:, i] * C[:, j], axis=0)
+                cache[(i, i)] = cache[(i, i)] + ridge
+            rows = [
+                jnp.stack([cache[(max(i, j), min(i, j))] for j in range(n)], axis=0)
+                for i in range(n)
+            ]
+            return jnp.stack(rows, axis=0)
 
         def newton(x, s, lam, sigma_mu):
             s_safe = jnp.maximum(s, s_floor)

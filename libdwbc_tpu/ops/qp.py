@@ -36,6 +36,27 @@ import jax.numpy as jnp
 from . import smallmat as sm
 
 _BIG = 1.0e20
+# Unrolled small-matrix kernels win below this size (VPU lane batching, no
+# LAPACK-call latency); above it their straight-line code explodes compile
+# time and lax.linalg wins.
+_UNROLL_LIMIT = 48
+
+
+def _chol(K, unrolled: bool):
+    return sm.chol(K) if unrolled else jnp.linalg.cholesky(K)
+
+
+def _cho_solve(L, b, unrolled: bool):
+    if unrolled:
+        return sm.cho_solve(L, b)
+    vec = b.ndim == L.ndim - 1
+    rhs = b[..., None] if vec else b
+    out = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return out[..., 0] if vec else out
+
+
+def _psd_solve(K, b, unrolled: bool):
+    return _cho_solve(_chol(K, unrolled), b, unrolled)
 
 
 class QPSolution(NamedTuple):
@@ -90,6 +111,7 @@ def solve_qp(
     p = Aeq.shape[-2] if Aeq is not None else 0
 
     Hr = H + ridge * jnp.eye(n, dtype=dtype)
+    unrolled = n <= _UNROLL_LIMIT
 
     x0 = jnp.zeros(jnp.broadcast_shapes(H.shape[:-2], A.shape[:-2]) + (n,), dtype=dtype)
     s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), 1.0)
@@ -116,19 +138,20 @@ def solve_qp(
         rhs = -r_d - jnp.einsum(
             "...ji,...j->...i", C, w * r_p - r_c / s_safe
         )
-        L = sm.chol(K)
+        L = _chol(K, unrolled)
         if Aeq is not None:
             r_e = jnp.einsum("...ij,...j->...i", Aeq, x) - beq
-            Kinv_At = sm.cho_solve(L, jnp.swapaxes(Aeq, -1, -2))
-            Kinv_rhs = sm.cho_solve(L, rhs)
+            Kinv_At = _cho_solve(L, jnp.swapaxes(Aeq, -1, -2), unrolled)
+            Kinv_rhs = _cho_solve(L, rhs, unrolled)
             S = Aeq @ Kinv_At + ridge * jnp.eye(p, dtype=dtype)
-            dnu = sm.psd_solve(
+            dnu = _psd_solve(
                 0.5 * (S + jnp.swapaxes(S, -1, -2)),
                 jnp.einsum("...ij,...j->...i", Aeq, Kinv_rhs) + r_e,
+                unrolled,
             )
             dx = Kinv_rhs - jnp.einsum("...ij,...j->...i", Kinv_At, dnu)
         else:
-            dx = sm.cho_solve(L, rhs)
+            dx = _cho_solve(L, rhs, unrolled)
             dnu = nu
         ds = -(r_p + jnp.einsum("...ij,...j->...i", C, dx))
         dlam = -(r_c + lam * ds) / s_safe
@@ -180,7 +203,7 @@ def solve_qp(
         K_p = K_p + pen * jnp.einsum("...ji,...jk->...ik", Aeq, Aeq)
         rhs_p = rhs_p + pen * jnp.einsum("...ji,...j->...i", Aeq, beq)
     rhs_p = rhs_p * jnp.ones_like(x)
-    x_p = sm.psd_solve(0.5 * (K_p + jnp.swapaxes(K_p, -1, -2)), rhs_p)
+    x_p = _psd_solve(0.5 * (K_p + jnp.swapaxes(K_p, -1, -2)), rhs_p, unrolled)
     lam_p = pen * act * (
         jnp.einsum("...ij,...j->...i", C, x_p) - d
     )
