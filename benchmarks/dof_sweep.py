@@ -1,0 +1,120 @@
+"""DoF-sweep harness: full vs reduced pipeline across 18–45-DoF models.
+
+Equivalent of the reference's dof_comparison executable
+(/root/reference/tests/sp_test/dof_comparison.cpp): compile each URDF in the
+reference's dof_test family, run the full and reduced OSF-HQP pipelines, and
+report per-stage timings + torque similarity.
+
+Usage:  python benchmarks/dof_sweep.py [-r repeats] [--dofs 18,27,33,45]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOF_DIR = "/root/reference/tests/dof_test"
+
+
+def run_one(urdf: str, repeats: int):
+    import jax
+    import jax.numpy as jnp
+
+    from libdwbc_tpu.model.compile import compile_urdf
+    from libdwbc_tpu.wbc import types as T
+    from libdwbc_tpu.wbc.robot import RobotData
+
+    rd = RobotData(dtype=jnp.float64)
+    rd.model = compile_urdf(urdf, floating=True)
+    from libdwbc_tpu.kin.engine import Kinematics
+
+    rd.kin = Kinematics(rd.model)
+    mdof = rd.model_dof_
+
+    # Standard legs-first config: contacts on the 6th body of each leg chain
+    rd.AddContactConstraint(6, T.CONTACT_6D, [0.03, 0, -0.1585], [0, 0, 1], 0.15, 0.075)
+    rd.AddContactConstraint(12, T.CONTACT_6D, [0.03, 0, -0.1585], [0, 0, 1], 0.15, 0.075)
+    rd.AddTaskSpace(0, T.TASK_LINK_6D, 0, np.zeros(3))
+    if rd.model.nbody > 15:
+        rd.AddTaskSpace(1, T.TASK_LINK_ROTATION, 15, np.zeros(3))
+    rd.SetTorqueLimit(np.full(mdof, 300.0))
+
+    q = np.zeros(rd.model.nq)
+    q[2] = 0.92983
+    q[rd.model.ndof] = 1.0
+    legs = [0.0, 0.0, -0.24, 0.6, -0.36, 0.0] * 2
+    q[6 : 6 + 12] = legs
+    rd.UpdateKinematics(q, np.zeros(rd.model.ndof))
+    rd.SetContact(True, True)
+    rd.SetTaskSpace(0, np.array([0.1, 0.4, 0.1, 0.1, -0.1, 0.1]))
+    if len(rd.ts_) > 1:
+        rd.SetTaskSpace(1, np.array([0.1, -0.1, 0.1]))
+
+    def full():
+        rd.CalcContactConstraint()
+        rd.CalcGravCompensation()
+        rd.CalcTaskControlTorque(True)
+        rd.CalcContactRedistribute(True)
+        return rd.torque_command()
+
+    def reduced():
+        rd.ReducedDynamicsCalculate()
+        rd.ReducedCalcContactConstraint()
+        rd.ReducedCalcGravCompensation()
+        rd.ReducedCalcTaskControlTorque(True)
+        rd.ReducedCalcContactRedistribute(True)
+        return rd.torque_command()
+
+    tau_f = full()
+    tau_r = reduced()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        tau_f = full()
+    t_full = (time.perf_counter() - t0) / repeats
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        tau_r = reduced()
+    t_red = (time.perf_counter() - t0) / repeats
+
+    return dict(
+        urdf=os.path.basename(urdf),
+        model_dof=mdof,
+        reduced_dof=rd._ridx.reduced_model_dof,
+        t_full_ms=round(t_full * 1e3, 2),
+        t_reduced_ms=round(t_red * 1e3, 2),
+        ratio=round(t_red / t_full, 3),
+        torque_similarity=float(np.linalg.norm(tau_f - tau_r)),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-r", "--repeats", type=int, default=3)
+    ap.add_argument("--dofs", type=str, default="")
+    args = ap.parse_args()
+
+    urdfs = sorted(glob.glob(os.path.join(DOF_DIR, "*.urdf")))
+    if args.dofs:
+        want = {d.strip() for d in args.dofs.split(",")}
+        urdfs = [u for u in urdfs if any(f"dof{d}" in u for d in want)]
+    if not urdfs:
+        print(json.dumps({"error": f"no URDFs found under {DOF_DIR}"}))
+        return
+
+    for u in urdfs:
+        try:
+            print(json.dumps(run_one(u, args.repeats)))
+        except Exception as e:  # noqa: BLE001 — sweep should report, not die
+            print(json.dumps({"urdf": os.path.basename(u), "error": str(e)}))
+
+
+if __name__ == "__main__":
+    main()

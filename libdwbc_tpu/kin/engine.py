@@ -272,7 +272,7 @@ class Kinematics:
         J, Jcom = self.body_jacobians(fk)
         A = self.mass_matrix(fk, Jcom)
 
-        eye = jnp.eye(self.ndof, dtype=dtype)
+        eye = jnp.broadcast_to(jnp.eye(self.ndof, dtype=dtype), A.shape)
         L = jnp.linalg.cholesky(A)
         A_inv = jax.scipy.linalg.cho_solve((L, True), eye)
 

@@ -59,6 +59,29 @@ def _psd_solve(K, b, unrolled: bool):
     return _cho_solve(_chol(K, unrolled), b, unrolled)
 
 
+def _pallas_eligible(H, g, A, lb, ub, Aeq, backend) -> bool:
+    """Route to the Pallas megakernel: TPU, f32, one-sided, no equalities,
+    small variable count, and a real leading batch dimension (the kernel
+    pads to 1024-scenario tiles — single problems would waste a full tile
+    unless explicitly forced)."""
+    if lb is not None or Aeq is not None:
+        return False
+    if H.dtype != jnp.float32:
+        return False
+    n = H.shape[-1]
+    if n > 24 or A.shape[-2] > 512:
+        return False
+    batched = (A.ndim >= 3) or (g.ndim >= 2)
+    if backend == "pallas":
+        return True
+    if not batched:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class QPSolution(NamedTuple):
     x: jnp.ndarray        # (n,) primal solution
     lam: jnp.ndarray      # (2m,) multipliers for [upper; lower] rows
@@ -82,9 +105,10 @@ def _one_sided(A, lb, ub):
     return C, d
 
 
-@partial(jax.jit, static_argnames=("iters", "ridge"))
+@partial(jax.jit, static_argnames=("iters", "ridge", "backend"))
 def solve_qp(
-    H, g, A, lb, ub, Aeq=None, beq=None, iters: int = 30, ridge: float = 1.0e-9
+    H, g, A, lb, ub, Aeq=None, beq=None, iters: int = 30, ridge: float = 1.0e-9,
+    backend: str = "auto",
 ) -> QPSolution:
     """Solve one (or a batch of) dense QPs.  All args broadcast on leading dims.
 
@@ -94,8 +118,40 @@ def solve_qp(
 
     iters: static IPM iteration count (30 reaches ~1e-9 on well-scaled
     problems; polish then drives exact-vertex accuracy).
+    backend: 'auto' routes small one-sided f32 problems with a single leading
+    batch dim to the Pallas lane-batched megakernel on TPU; 'xla' forces the
+    pure-XLA path; 'pallas' forces the kernel.
     """
     n = H.shape[-1]
+    if backend != "xla" and _pallas_eligible(H, g, A, lb, ub, Aeq, backend):
+        from .pallas_qp import pallas_qp_solve
+
+        m_ = A.shape[-2]
+        bshape = jnp.broadcast_shapes(
+            H.shape[:-2], g.shape[:-1], A.shape[:-2], ub.shape[:-1]
+        )
+        B = 1
+        for s_ in bshape:
+            B *= s_
+        ub_f = jnp.isfinite(ub) & (jnp.abs(ub) < _BIG)
+        C_ = A * ub_f[..., :, None]
+        d_ = jnp.where(ub_f, ub, 1.0)
+        x, s, lam = pallas_qp_solve(
+            jnp.broadcast_to(H, bshape + (n, n)).reshape(B, n, n).astype(jnp.float32),
+            jnp.broadcast_to(g, bshape + (n,)).reshape(B, n).astype(jnp.float32),
+            jnp.broadcast_to(C_, bshape + (m_, n)).reshape(B, m_, n).astype(jnp.float32),
+            jnp.broadcast_to(d_, bshape + (m_,)).reshape(B, m_).astype(jnp.float32),
+            iters=iters, ridge=max(ridge, 1e-6),
+        )
+        x = x.reshape(bshape + (n,))
+        lam = lam.reshape(bshape + (m_,))
+        d_b = jnp.broadcast_to(d_, bshape + (m_,))
+        C_b = jnp.broadcast_to(C_, bshape + (m_, n))
+        slack = d_b - jnp.einsum("...ij,...j->...i", C_b, x)
+        pres = jnp.max(jnp.maximum(-slack, 0.0), axis=-1)
+        gap = jnp.abs(jnp.sum(slack * lam, axis=-1)) / m_
+        return QPSolution(x=x, lam=lam, gap=gap, primal_res=pres,
+                          polished=jnp.zeros_like(pres, dtype=bool))
     dtype = H.dtype
     f32 = dtype == jnp.float32
     ridge = max(ridge, 1e-6) if f32 else ridge
@@ -226,6 +282,10 @@ def solve_qp(
         & (pres_p + gap_p <= pres_i + gap_i + 1e-9)
         & (lam_p.min(axis=-1) >= -1e-7)
     )
+    if f32:
+        # the penalty-polish multipliers are too noisy at f32 to trust the
+        # acceptance test; the IPM solution alone is already at ~1e-8 gap
+        ok = jnp.zeros_like(ok)
     x_fin = jnp.where(ok[..., None], x_p, x)
     lam_fin = jnp.where(ok[..., None], jnp.maximum(lam_p, 0.0), lam)
     pres = jnp.where(ok, pres_p, pres_i)

@@ -39,7 +39,7 @@ class ContactSpace(NamedTuple):
 def _psd_inv(M):
     """Inverse of a symmetric positive definite matrix via Cholesky."""
     L = jnp.linalg.cholesky(M)
-    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
     Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     return jnp.swapaxes(Linv, -1, -2) @ Linv
 

@@ -206,8 +206,13 @@ class CompiledTick:
         return self._tick(q, qdot, fstars)
 
     def batched(self):
-        """vmapped tick over a leading scenario axis (jitted)."""
-        return jax.jit(jax.vmap(self._tick_impl, in_axes=(0, 0, 0)))
+        """Batched tick over a leading scenario axis (jitted).
+
+        The whole pipeline broadcasts over leading batch dims natively (no
+        vmap), which lets the QP layer see the full batch and route it to the
+        Pallas lane-batched megakernel on TPU.
+        """
+        return jax.jit(self._tick_impl)
 
 
 def standard_tocabi_config(

@@ -603,12 +603,22 @@ class RobotData:
         self._ridx = red.classify_chains(
             self.model, [c.link for c in self.active_contacts()]
         )
+        if self._ridx.nc_dof == 0:
+            # every joint is on the contact chain — there is nothing to lump
+            # and the reduction jacobian would be rank deficient; the reduced
+            # pipeline degenerates to the full one.
+            self._reduced_degenerate = True
+            self.rdyn = None
+            return None
+        self._reduced_degenerate = False
         self.rdyn = red.reduced_dynamics(self.model, self._ridx, st)
         return self.rdyn
 
     def ReducedCalcContactConstraint(self):
         from . import reduced as red
 
+        if getattr(self, "_reduced_degenerate", False):
+            return self.CalcContactConstraint()
         st = self.state
         self.J_C = self._contact_jacobian(st)
         self.cspace_r, self.J_CR = red.reduced_contact_space(
@@ -621,6 +631,9 @@ class RobotData:
 
     def ReducedCalcGravCompensation(self):
         from . import reduced as red
+
+        if getattr(self, "_reduced_degenerate", False):
+            return self.CalcGravCompensation()
 
         tg_full, tgR, P_CR = red.reduced_gravity(
             self._ridx, self.cspace_r, self.rdyn, self.state.G
@@ -728,6 +741,9 @@ class RobotData:
                                      calc_task_space: bool = True):
         """src/dwbc.cpp:3255-3446."""
         from .hqp import solve_task_level_qp
+
+        if getattr(self, "_reduced_degenerate", False):
+            return self.CalcTaskControlTorque(hqp, init)
 
         if calc_task_space:
             self.ReducedCalcTaskSpace()
@@ -848,6 +864,9 @@ class RobotData:
     def ReducedCalcContactRedistribute(self, hqp: bool = True, init: bool = True):
         """src/dwbc.cpp:3758-3770 + CalcContactRedistributeR (4776-4992)."""
         from .hqp import solve_contact_redistribution_qp
+
+        if getattr(self, "_reduced_degenerate", False):
+            return self.CalcContactRedistribute(hqp, init)
 
         idx = self._ridx
         csr = self.cspace_r
