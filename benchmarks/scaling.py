@@ -1,0 +1,100 @@
+"""Scenario-batch scaling harness over a device mesh.
+
+Measures solves/s at 1..N devices with the scenario grid sharded over the
+('hyp','roll') mesh (BASELINE north-star: ≥80% linear scaling to 2+ hosts).
+On a multi-chip TPU slice the collectives ride ICI; on this single-chip dev
+environment the harness runs on N virtual CPU devices
+(xla_force_host_platform_device_count) to validate the machinery — absolute
+numbers there measure host cores, not TPU scaling.
+
+Usage: python benchmarks/scaling.py [-n 8] [-B 512] [--devices cpu|native]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", "--max-devices", type=int, default=8)
+    ap.add_argument("-B", "--batch-per-device", type=int, default=256)
+    ap.add_argument("--devices", choices=["cpu", "native"], default="cpu")
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    if args.devices == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.max_devices)
+    else:
+        import jax
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libdwbc_tpu.model.compile import RobotModel
+    from libdwbc_tpu.parallel.mesh import make_mesh, sharded_batch_solver
+    from libdwbc_tpu.wbc.pipeline import CompiledTick, standard_tocabi_config
+
+    model = RobotModel.load(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "models", "tocabi.npz")
+    )
+    cfg = standard_tocabi_config(model, qp_iters=8)
+    tick = CompiledTick(model, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    base_q = np.zeros(model.nq, np.float32)
+    base_q[2] = 0.92983
+    base_q[model.ndof] = 1.0
+    base_q[6:18] = np.array([0, 0, -0.24, 0.6, -0.36, 0] * 2, np.float32)
+
+    results = []
+    n = 1
+    while n <= args.max_devices:
+        devs = jax.devices()[:n]
+        mesh = make_mesh(devices=devs)
+        step, sh = sharded_batch_solver(tick._tick_impl, mesh)
+        H = mesh.shape["hyp"]
+        R = mesh.shape["roll"] * args.batch_per_device
+        qs = np.tile(base_q, (H, R, 1))
+        qs[..., 6:39] += 0.01 * rng.standard_normal((H, R, 33)).astype(np.float32)
+        qds = np.zeros((H, R, model.ndof), np.float32)
+        fs = (
+            np.tile(np.array([0.1, 0.3, 0.1, 0, 0, 0], np.float32), (H, R, 1)),
+            np.tile(np.array([0.05, 0, 0], np.float32), (H, R, 1)),
+        )
+        a = (
+            jax.device_put(qs, sh), jax.device_put(qds, sh),
+            tuple(jax.device_put(f, sh) for f in fs),
+        )
+        res, best, cost = step(*a)
+        jax.block_until_ready(res.torque_cmd)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            res, best, cost = step(*a)
+        jax.block_until_ready(res.torque_cmd)
+        dt = (time.perf_counter() - t0) / args.iters
+        sps = H * R / dt
+        results.append(dict(devices=n, grid=[H, R], solves_per_sec=round(sps, 1)))
+        n *= 2
+
+    base = results[0]["solves_per_sec"]
+    for r in results:
+        r["scaling_efficiency"] = round(
+            r["solves_per_sec"] / (base * r["devices"]), 3
+        )
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Pallas QP megakernel: correctness in interpreter mode (CPU-runnable).
+
+The compiled-on-TPU path is exercised by bench.py; here the same kernel code
+runs under the Pallas interpreter and must match the f64 XLA solver.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libdwbc_tpu.ops.pallas_qp import pallas_qp_solve
+from libdwbc_tpu.ops.qp import solve_qp
+
+
+def _random_one_sided(rng, B, n, m):
+    H = np.zeros((B, n, n), np.float32)
+    g = np.zeros((B, n), np.float32)
+    C = np.zeros((B, m, n), np.float32)
+    d = np.zeros((B, m), np.float32)
+    for b in range(B):
+        Q = rng.standard_normal((n, n))
+        H[b] = Q @ Q.T * 0.1 + np.eye(n)
+        g[b] = rng.standard_normal(n)
+        C[b] = rng.standard_normal((m, n))
+        x0 = rng.standard_normal(n)
+        d[b] = C[b] @ x0 + rng.uniform(0.05, 2.0, m)
+    return H, g, C, d
+
+
+def test_interpret_matches_f64_reference():
+    rng = np.random.default_rng(0)
+    B, n, m = 8, 12, 40
+    H, g, C, d = _random_one_sided(rng, B, n, m)
+    x, s, lam = pallas_qp_solve(
+        jnp.array(H), jnp.array(g), jnp.array(C), jnp.array(d),
+        iters=15, interpret=True,
+    )
+    ref = solve_qp(
+        jnp.array(H, jnp.float64), jnp.array(g, jnp.float64),
+        jnp.array(C, jnp.float64), None, jnp.array(d, jnp.float64), iters=30,
+    )
+    assert np.abs(np.asarray(x) - np.asarray(ref.x)).max() < 5e-3
+    viol = np.einsum("bmn,bn->bm", C, np.asarray(x)) - d
+    assert viol.max() < 1e-5
+
+
+def test_interpret_batch_padding():
+    """Batch sizes that are not a multiple of the 1024-scenario tile."""
+    rng = np.random.default_rng(1)
+    B, n, m = 3, 6, 10
+    H, g, C, d = _random_one_sided(rng, B, n, m)
+    x, s, lam = pallas_qp_solve(
+        jnp.array(H), jnp.array(g), jnp.array(C), jnp.array(d),
+        iters=12, interpret=True,
+    )
+    assert x.shape == (B, n)
+    ref = solve_qp(
+        jnp.array(H, jnp.float64), jnp.array(g, jnp.float64),
+        jnp.array(C, jnp.float64), None, jnp.array(d, jnp.float64), iters=30,
+    )
+    assert np.abs(np.asarray(x) - np.asarray(ref.x)).max() < 5e-3
