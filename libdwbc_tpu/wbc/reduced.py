@@ -82,6 +82,7 @@ class ReducedDynamics(NamedTuple):
     inertia_nc: jnp.ndarray     # (3,3) nc-chain locked inertia about its COM
     cmm_nc: jnp.ndarray         # (6,nc_dof) nc centroidal momentum matrix
     J_I_nc: jnp.ndarray         # (6,nc_dof) lumped-body velocity map
+    A_NC_joint: jnp.ndarray     # (nc,nc) nc-subtree joint-space mass matrix
     J_R: jnp.ndarray            # (r_sys,n) reduction jacobian
     A_R_inv: jnp.ndarray        # (r_sys,r_sys)
     A_R: jnp.ndarray
@@ -141,6 +142,14 @@ def reduced_dynamics(
     )
     cmm_nc = jnp.concatenate([lin, ang], axis=-2)                # (...,6,ncd)
 
+    # nc-subtree joint-space mass matrix (the A_NC bottom-right block the
+    # reference extracts from its partial CRBA, src/dwbc.cpp:2892-2904):
+    # KE metric over nc bodies w.r.t. nc joint velocities (base frozen).
+    # Jv is already the body-COM point jacobian (sliced from st.Jcom).
+    A_NC_joint = jnp.einsum("b,...bik,...bil->...kl", mass, Jv, Jv) + jnp.einsum(
+        "...bik,...bij,...bjl->...kl", Jw, I_rel, Jw
+    )
+
     SI_l = jnp.zeros(cmm_nc.shape[:-2] + (6, 6), dtype=dtype)
     SI_l = SI_l.at[..., 0, 0].set(mass_nc).at[..., 1, 1].set(mass_nc).at[..., 2, 2].set(mass_nc)
     SI_l = SI_l.at[..., 3:6, 3:6].set(inertia_nc)
@@ -173,7 +182,8 @@ def reduced_dynamics(
     )
     return ReducedDynamics(
         mass_nc=mass_nc, com_pos_nc=com_pos_nc, inertia_nc=inertia_nc,
-        cmm_nc=cmm_nc, J_I_nc=J_I_nc, J_R=J_R, A_R_inv=A_R_inv, A_R=A_R,
+        cmm_nc=cmm_nc, J_I_nc=J_I_nc, A_NC_joint=A_NC_joint,
+        J_R=J_R, A_R_inv=A_R_inv, A_R=A_R,
         J_I_nc_inv_T=J_I_nc_inv_T, N_I_nc=N_I_nc, J_R_INV_T=J_R_INV_T,
         G_R=G_R, G_NC=G_nc,
     )

@@ -595,6 +595,154 @@ class RobotData:
         self.acc_jacc_ = result.x[:n]
         return np.asarray(self.torque_jacc_)
 
+    def ConfigureLQP_R(self, init: bool = True):
+        """Reduced-coordinate LQP cascade (src/dwbc.cpp:4504-4632): same
+        priority scheme as ConfigureLQP over y = [q̈_R; f_c], with nc tasks
+        excluded (they get the _R_NC cascade)."""
+        from . import lqp
+
+        st = self.state
+        idx = self._ridx
+        rd = self.rdyn
+        dtype = self.dtype
+        r_sys = idx.reduced_system_dof
+        r_model = idx.reduced_model_dof
+        self.J_C = self._contact_jacobian(st)
+        vcj = jnp.asarray(idx.vc_joints)
+        c = self.J_C.shape[-2]
+        J_CR = jnp.zeros((c, r_sys), dtype=dtype)
+        J_CR = J_CR.at[:, : idx.vc_dof].set(self.J_C[..., :, vcj])
+
+        # G_R plays the role of the bias vector in reduced coords (the
+        # reference uses G_R, not B_R — src/dwbc.cpp:4555)
+        task_Js = []
+        task_fs = []
+        co_set = set(idx.co_links)
+        for h, td in enumerate(self.ts_):
+            is_nc = any(
+                tl.link not in co_set and tl.link != self.model.nbody
+                for tl in td.links
+            )
+            if is_nc:
+                continue
+            Jt = self._task_jacobian(st, h) @ jnp.swapaxes(rd.J_R_INV_T, -1, -2)
+            task_Js.append(Jt)
+            task_fs.append(jnp.asarray(self._fstars[h], dtype))
+
+        self._lqp_r_levels = lqp.build_lqp_levels(
+            rd.A_R, rd.G_R, J_CR, self.getContactConstraintMatrix(),
+            task_Js, task_fs,
+        )
+        y0 = jnp.zeros(r_sys + c, dtype=dtype)
+        y0 = y0.at[:r_sys].set(-rd.A_R_inv @ rd.G_R)
+        self._lqp_r_y0 = y0
+        self._lqp_r_JCR = J_CR
+        return 1
+
+    def CalcControlTorqueLQP_R(self, init: bool = True):
+        """Solve the reduced cascade; recover reduced actuated torque and
+        recompose the full command (co joints exact; nc joints =
+        lumped-wrench mapping + gravity, src/dwbc.cpp:3442-3443 pattern)."""
+        from . import lqp
+
+        res = lqp.solve_cascade(self._lqp_r_levels, self._lqp_r_y0,
+                                qp_iters=self.qp_iters)
+        self.lqp_r_result = res
+        idx = self._ridx
+        rd = self.rdyn
+        tau_R = lqp.lqp_torque_from_solution(
+            res.y, rd.A_R, rd.G_R, self._lqp_r_JCR
+        )
+        self.torque_lqp_R_ = tau_R
+        co = idx.co_dof
+        tau = jnp.zeros(self.model_dof_, dtype=self.dtype)
+        tau = tau.at[:co].set(tau_R[:co])
+        tau = tau.at[co:].set(
+            jnp.swapaxes(rd.J_I_nc, -1, -2) @ tau_R[co:] + rd.N_I_nc @ rd.G_NC
+        )
+        self.torque_lqp_ = tau
+        return np.asarray(tau)
+
+    def ConfigureLQP_R_NC(self, q_acc_R, init: bool = True):
+        """Non-contact-chain LQP (src/dwbc.cpp:4634-4760): given the reduced
+        solution's base/lumped accelerations q_acc_R (r_sys vector), solve
+        for nc joint accelerations subject to the lumped-body coupling
+        J_I_nc q̈_nc = -f*_gnc and an upper-body task."""
+        from . import lqp
+
+        st = self.state
+        idx = self._ridx
+        rd = self.rdyn
+        dtype = self.dtype
+        ncd = idx.nc_dof
+        fstar_gnc = q_acc_R[..., -6:]
+        fstar_base = q_acc_R[..., 0:6]
+
+        A_nc = rd.A_NC_joint
+        cost = A_nc / jnp.linalg.norm(A_nc) * 5.0
+
+        # L0: eq J_I_nc q̈ = -f*_gnc; ineq nc torque limits (gravity-biased)
+        tlim = jnp.full(ncd, 200.0, dtype)
+        A0 = jnp.concatenate([A_nc, -A_nc], axis=-2)
+        a0 = jnp.concatenate([-tlim + rd.G_NC, -tlim - rd.G_NC], axis=-1)
+        lv0 = lqp.LQPLevel(A=A0, a=a0, B=rd.J_I_nc, b=fstar_gnc, rank=6, H=cost)
+
+        # L1: upper-body task (first nc task level), local f* relative to the
+        # base acceleration (src/dwbc.cpp:4737-4746)
+        levels = [lv0]
+        co_set = set(idx.co_links)
+        ncj = jnp.asarray(idx.nc_joints)
+        for h, td in enumerate(self.ts_):
+            is_nc = any(
+                tl.link not in co_set and tl.link != self.model.nbody
+                for tl in td.links
+            )
+            if not is_nc:
+                continue
+            Jt_full = self._task_jacobian(st, h)
+            t = Jt_full.shape[-2]
+            Jt_nc = Jt_full[..., :, ncj]
+            fstar = jnp.asarray(self._fstars[h], dtype)
+            link = td.links[0].link
+            if t == 6:
+                from ..kin.rotations import skew as _skew
+
+                Ja = jnp.eye(6, dtype=dtype)
+                Ja = Ja.at[0:3, 3:6].set(_skew(st.p[link] - st.p[0]))
+                fstar_local = Ja @ (fstar - fstar_base)
+            else:
+                # rotation-only task: subtract the base angular acceleration
+                fstar_local = fstar - fstar_base[3:6]
+            alim = jnp.full(ncd, 5.0, dtype)
+            A1 = jnp.concatenate(
+                [jnp.eye(ncd, dtype=dtype), -jnp.eye(ncd, dtype=dtype)], axis=-2
+            )
+            a1 = jnp.concatenate([-alim, -alim], axis=-1)
+            levels.append(
+                lqp.LQPLevel(A=A1, a=a1, B=Jt_nc, b=-fstar_local, rank=t, H=cost)
+            )
+            break  # the reference builds one nc task level (src/dwbc.cpp:4732-4756)
+
+        self._lqp_nc_levels = levels
+        self._lqp_nc_y0 = jnp.zeros(ncd, dtype=dtype)
+        return 1
+
+    def CalcControlTorqueLQP_R_NC(self, init: bool = True):
+        """solvefirst + sequential over the nc cascade (src/dwbc.cpp:4479-4502);
+        recover nc joint torque τ_nc = A_NC q̈_nc + G_NC."""
+        from . import lqp
+
+        res = lqp.solve_cascade(
+            self._lqp_nc_levels, self._lqp_nc_y0, solve_level0=True,
+            qp_iters=self.qp_iters,
+        )
+        self.lqp_nc_result = res
+        rd = self.rdyn
+        qdd_nc = res.y
+        tau_nc = rd.A_NC_joint @ qdd_nc + rd.G_NC
+        self.torque_lqp_nc_ = tau_nc
+        return np.asarray(tau_nc)
+
     # ------------------------------------------------- reduced (`_R`) path
     def ReducedDynamicsCalculate(self, verbose=False):
         from . import reduced as red

@@ -77,3 +77,31 @@ def test_jacc_dynamics_consistency(hqp_robot):
     rhs = np.concatenate([np.zeros(6), tau]) - np.asarray(rd.J_C).T @ fc
     assert np.linalg.norm(lhs - rhs) < 1e-7
     rd.qp_iters = 25
+
+
+def test_reduced_lqp_cascade(hqp_robot):
+    """ConfigureLQP_R / CalcControlTorqueLQP_R + the _R_NC cascade
+    (src/dwbc.cpp:4504-4760): reduced-coordinate LQP agrees with the
+    torque-level HQP on the contact chain, and the nc cascade produces
+    finite, bounded arm torques consistent with the HQP result."""
+    import jax.numpy as jnp
+
+    rd = hqp_robot
+    tau_hqp = rd.torque_command()
+    rd.ReducedDynamicsCalculate()
+    rd.ReducedCalcContactConstraint()
+    rd.ReducedCalcGravCompensation()
+    rd.ConfigureLQP_R()
+    tau_r = rd.CalcControlTorqueLQP_R()
+    assert np.isfinite(tau_r).all()
+    co = rd._ridx.co_dof
+    assert np.linalg.norm(tau_r[:co] - tau_hqp[:co]) < 0.1 * np.linalg.norm(tau_hqp[:co])
+
+    q_acc_R = rd.lqp_r_result.y[: rd._ridx.reduced_system_dof]
+    rd.ConfigureLQP_R_NC(q_acc_R)
+    tau_nc = rd.CalcControlTorqueLQP_R_NC()
+    assert tau_nc.shape == (rd._ridx.nc_dof,)
+    assert np.isfinite(tau_nc).all()
+    assert np.linalg.norm(tau_nc - tau_hqp[co:]) < 0.5 * max(
+        np.linalg.norm(tau_hqp[co:]), 1.0
+    )
