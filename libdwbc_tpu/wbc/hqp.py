@@ -126,14 +126,35 @@ def solve_contact_redistribution_qp(
     A_rot,
     torque_limit,
     iters: int = 25,
+    tangential_weight: bool = False,
 ):
-    """Final redistribution QP over f_c,red (src/dwbc.cpp:1396-1561)."""
+    """Final redistribution QP over f_c,red (src/dwbc.cpp:1396-1561).
+
+    tangential_weight=True uses the reduced path's objective
+    (``CalcContactRedistributeR``, src/dwbc.cpp:4814-4848): minimize the
+    *tangential* components of the resulting contact forces (contact-frame
+    rotation with the normal row zeroed) instead of ‖f_c,red‖².
+    """
     m = NwJw.shape[-2]
     cfree = NwJw.shape[-1]
     dtype = NwJw.dtype
 
-    H = jnp.eye(cfree, dtype=dtype)
-    g = jnp.zeros(cfree, dtype=dtype)
+    if tangential_weight:
+        # RotW·crot: contact-frame rotation, fz rows dropped
+        nc6 = A_rot.shape[-1]
+        RotW = jnp.ones(nc6, dtype=dtype)
+        for i in range(nc6 // 6):
+            RotW = RotW.at[6 * i + 2].set(0.0)
+        crot = A_rot * RotW[..., :, None]
+        H_temp = crot @ J_C_INV_T[..., :, -m:] @ NwJw          # (...,nc6,cfree)
+        H = jnp.swapaxes(H_temp, -1, -2) @ H_temp + 1e-8 * jnp.eye(cfree, dtype=dtype)
+        cf_now = jnp.einsum(
+            "...km,...m->...k", crot @ J_C_INV_T[..., :, -m:], torque_input
+        ) - jnp.einsum("...kc,...c->...k", crot, P_C)
+        g = jnp.einsum("...k,...km->...m", cf_now, H_temp)
+    else:
+        H = jnp.eye(cfree, dtype=dtype)
+        g = jnp.zeros(cfree, dtype=dtype)
 
     rows = []
     ubs = []

@@ -1,0 +1,120 @@
+"""Persistent on-device control loop: the single-lane serving shape.
+
+The reference's 1 kHz loop is host code calling the controller every tick
+(tests/test_thread.cpp). On TPU, host↔device round trips per tick would
+dominate (tens of µs to ms, depending on attachment), so the serving shape
+is a **persistent on-device loop**: K control ticks run inside one
+`lax.scan`, with the robot state advanced on device between ticks by a
+user-supplied transition function (a simulator step, a state-estimate
+ingest from a device buffer, or a simple hold). The host only refills task
+targets / reads torque logs at the K-tick cadence.
+
+This is also the honest way to measure device-side tick latency (see
+bench.py): the scan forces strict serialization of the ticks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .pipeline import CompiledTick
+
+
+class LoopResult(NamedTuple):
+    q_final: jnp.ndarray
+    qdot_final: jnp.ndarray
+    torques: jnp.ndarray        # (K, ..., model_dof)
+    qp_primal_res: jnp.ndarray  # (K, ...)
+
+
+def default_transition(model):
+    """Semi-implicit integration of the commanded accelerations under the
+    no-contact-motion assumption: q̇ ← q̇ (held), q ← q (held). A pure hold —
+    use a simulator step for closed-loop rollouts."""
+
+    def step(q, qdot, res, dt):
+        return q, qdot
+
+    return step
+
+
+def forward_dynamics_transition(tick: CompiledTick):
+    """Closed-loop transition using the engine's own dynamics:
+    q̈ = A⁻¹(Sᵀτ + J_Cᵀf_c − B) evaluated at the current state, integrated
+    semi-implicitly, with the floating base quaternion advanced on the
+    manifold.  A minimal on-device simulator for rollout sweeps."""
+    kin = tick.kin
+    model = tick.model
+
+    def step(q, qdot, res, dt):
+        st = kin.update(q, qdot)
+        tau_full = jnp.concatenate(
+            [jnp.zeros(q.shape[:-1] + (6,), q.dtype), res.torque_cmd], axis=-1
+        )
+        # contact forces act through the contact jacobian; in this codebase's
+        # convention the EoM reads A q̈ + J_Cᵀ f_c + B = Sᵀτ (support normal
+        # force has f_z < 0 — see the LQP Newton-Euler rows)
+        J_C = tick._contact_jacobian_from_state(st)
+        rhs = tau_full - st.B - jnp.einsum(
+            "...cn,...c->...n", J_C, res.contact_force
+        )
+        qdd = jnp.einsum("...ij,...j->...i", st.A_inv, rhs)
+        qdot_new = qdot + dt * qdd
+        # integrate: translation + joints linearly, quaternion on manifold
+        q_new = q
+        q_new = q_new.at[..., 0:3].add(dt * qdot_new[..., 0:3])
+        q_new = q_new.at[..., 6 : 6 + model.model_dof].add(
+            dt * qdot_new[..., 6:]
+        )
+        from ..kin.rotations import axis_angle_matrix, matrix_to_quat, quat_mul
+
+        w = qdot_new[..., 3:6] * dt
+        angle = jnp.linalg.norm(w, axis=-1)
+        axis = w / jnp.maximum(angle, 1e-12)[..., None]
+        dq = jnp.concatenate(
+            [axis * jnp.sin(angle / 2)[..., None], jnp.cos(angle / 2)[..., None]],
+            axis=-1,
+        )
+        quat = jnp.stack(
+            [q[..., 3], q[..., 4], q[..., 5], q[..., model.ndof]], axis=-1
+        )
+        qn = quat_mul(quat, dq)
+        q_new = q_new.at[..., 3].set(qn[..., 0])
+        q_new = q_new.at[..., 4].set(qn[..., 1])
+        q_new = q_new.at[..., 5].set(qn[..., 2])
+        q_new = q_new.at[..., model.ndof].set(qn[..., 3])
+        return q_new, qdot_new
+
+    return step
+
+
+def make_control_loop(
+    tick: CompiledTick,
+    transition: Callable | None = None,
+    K: int = 100,
+    dt: float = 0.001,
+):
+    """Build a jitted K-tick on-device loop.
+
+    transition(q, qdot, TickResult, dt) -> (q', qdot') runs between ticks.
+    """
+    trans = transition or default_transition(tick.model)
+
+    @jax.jit
+    def loop(q0, qdot0, fstars):
+        def body(carry, _):
+            q, qdot = carry
+            res = tick._tick_impl(q, qdot, fstars)
+            q, qdot = trans(q, qdot, res, dt)
+            return (q, qdot), (res.torque_cmd, res.qp_primal_res)
+
+        (q, qdot), (torques, pres) = jax.lax.scan(
+            body, (q0, qdot0), None, length=K
+        )
+        return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
+                          qp_primal_res=pres)
+
+    return loop

@@ -66,6 +66,19 @@ class CompiledTick:
         self._tick = jax.jit(self._tick_impl)
 
     # -------------------------------------------------------------- pieces
+    def _fk_from_state(self, st):
+        return FK(
+            R=st.R,
+            p=st.p,
+            axis_w=jnp.einsum(
+                "...bij,bj->...bi", st.R, jnp.asarray(self.model.axis, self.dtype)
+            ),
+            com_w=st.com_w,
+        )
+
+    def _contact_jacobian_from_state(self, st):
+        return self._contact_jacobian(self._fk_from_state(st))
+
     def _contact_jacobian(self, fk: FK):
         Js = []
         for c in self.cfg.contacts:

@@ -1009,8 +1009,14 @@ class RobotData:
         self.torque_contact_ = jnp.zeros(self.model_dof_, dtype=dtype)
         return 1
 
-    def ReducedCalcContactRedistribute(self, hqp: bool = True, init: bool = True):
-        """src/dwbc.cpp:3758-3770 + CalcContactRedistributeR (4776-4992)."""
+    def ReducedCalcContactRedistribute(self, hqp: bool = True, init: bool = True,
+                                       tangential_weight: bool = True):
+        """src/dwbc.cpp:3758-3770 + CalcContactRedistributeR (4776-4992).
+
+        tangential_weight=True matches the reference's reduced-path objective
+        (minimize tangential contact forces); False uses the full path's
+        min-norm objective (useful for full-vs-reduced similarity checks).
+        """
         from .hqp import solve_contact_redistribution_qp
 
         if getattr(self, "_reduced_degenerate", False):
@@ -1026,6 +1032,7 @@ class RobotData:
         sol = solve_contact_redistribution_qp(
             torque_input, csr.NwJw, csr.J_C_INV_T, self.P_CR,
             A_const, A_rot, tlim, iters=self.qp_iters,
+            tangential_weight=tangential_weight,
         )
         tcR = csr.NwJw @ sol.x
         tc = jnp.zeros(self.model_dof_, dtype=dtype)

@@ -87,7 +87,7 @@ def test_reduced_full_pipeline_similarity():
     rr.ReducedCalcContactConstraint()
     rr.ReducedCalcGravCompensation()
     rr.ReducedCalcTaskControlTorque(True)
-    rr.ReducedCalcContactRedistribute(True)
+    rr.ReducedCalcContactRedistribute(True, tangential_weight=False)
 
     tau_full = rd.torque_command()
     tau_red = rr.torque_command()
@@ -95,3 +95,20 @@ def test_reduced_full_pipeline_similarity():
         np.asarray(rr.torque_task_) - np.asarray(rd.torque_task_)
     ) < 1e-3
     assert np.linalg.norm(tau_full - tau_red) < 5e-2
+
+    # reference-fidelity objective (tangential weighting): different torque,
+    # but the commanded contact forces still satisfy every cone/CoP bound
+    rr.ReducedCalcContactRedistribute(True, tangential_weight=True)
+    tau_w = rr.torque_command()
+    cf = rr.getContactForce(tau_w)
+    for i, c in enumerate(rr.active_contacts()):
+        R = np.asarray(rr.state.R[c.link])
+        w_local = np.concatenate(
+            [R.T @ cf[6 * i : 6 * i + 3], R.T @ cf[6 * i + 3 : 6 * i + 6]]
+        )
+        fz = w_local[2]
+        assert fz < 0
+        assert abs(w_local[4] / fz) <= c.plane_x + 1e-5
+        assert abs(w_local[3] / fz) <= c.plane_y + 1e-5
+        assert abs(w_local[0] / fz) <= c.friction_ratio + 1e-5
+        assert abs(w_local[1] / fz) <= c.friction_ratio + 1e-5
