@@ -595,6 +595,97 @@ class RobotData:
         self.acc_jacc_ = result.x[:n]
         return np.asarray(self.torque_jacc_)
 
+    def CalcTaskControlTorqueJACC_R(self, init: bool = True):
+        """Reduced-coordinate acceleration QPs over x=[q̈_R; τ_R; f_c; δf*]
+        (``CalcSingleTaskTorqueWithJACC_QP_R``, src/dwbc.cpp:3946-4122):
+        the full EoM equality in reduced coordinates, tasks projected through
+        J̄_Rᵀ.  Requires ReducedDynamicsCalculate + ReducedCalcContactConstraint."""
+        from ..ops.qp import solve_qp
+
+        st = self.state
+        idx = self._ridx
+        rd = self.rdyn
+        dtype = self.dtype
+        n = idx.reduced_system_dof
+        mdof = idx.reduced_model_dof
+        c = self.contact_dof_
+        self.J_C = self._contact_jacobian(st)
+        vcj = jnp.asarray(idx.vc_joints)
+        J_CR = jnp.zeros((c, n), dtype=dtype).at[:, : idx.vc_dof].set(
+            self.J_C[..., :, vcj]
+        )
+        CCM = self.getContactConstraintMatrix()
+        JRIT_T = jnp.swapaxes(rd.J_R_INV_T, -1, -2)
+
+        prev = []
+        result = None
+        for h in range(len(self.ts_)):
+            J_task = self._task_jacobian(st, h) @ JRIT_T
+            t = J_task.shape[-2]
+            fstar = jnp.asarray(self._fstars[h], dtype)
+            nv = n + mdof + c + t
+            t_i, c_i, d_i = n, n + mdof, n + mdof + c
+
+            H = jnp.zeros((nv, nv), dtype=dtype)
+            H = H.at[:n, :n].set(rd.A_R)
+            H = H.at[d_i:, d_i:].set(100.0 * jnp.eye(t, dtype=dtype))
+            g = jnp.zeros(nv, dtype=dtype)
+
+            eqs, ebs = [], []
+            ST = jnp.zeros((n, mdof), dtype=dtype).at[6:, :].set(
+                jnp.eye(mdof, dtype=dtype)
+            )
+            row = jnp.zeros((n, nv), dtype=dtype)
+            row = row.at[:, :n].set(rd.A_R).at[:, t_i:c_i].set(-ST)
+            row = row.at[:, c_i:d_i].set(jnp.swapaxes(J_CR, -1, -2))
+            eqs.append(row)
+            ebs.append(-rd.G_R)
+            row = jnp.zeros((c, nv), dtype=dtype).at[:, :n].set(J_CR)
+            eqs.append(row)
+            ebs.append(jnp.zeros(c, dtype=dtype))
+            for (Jp, fp) in prev:
+                tp = Jp.shape[-2]
+                row = jnp.zeros((tp, nv), dtype=dtype).at[:, :n].set(Jp)
+                eqs.append(row)
+                ebs.append(fp)
+            row = jnp.zeros((t, nv), dtype=dtype).at[:, :n].set(J_task)
+            row = row.at[:, d_i:].set(-jnp.eye(t, dtype=dtype))
+            eqs.append(row)
+            ebs.append(fstar)
+            Aeq = jnp.concatenate(eqs, axis=0)
+            beq = jnp.concatenate(ebs, axis=0)
+
+            rows = [jnp.zeros((CCM.shape[0], nv), dtype=dtype).at[:, c_i:d_i].set(CCM)]
+            ubs = [jnp.zeros(CCM.shape[0], dtype=dtype)]
+            eye_m = jnp.eye(mdof, dtype=dtype)
+            qdd_rows = jnp.zeros((mdof, nv), dtype=dtype).at[:, 6:n].set(eye_m)
+            # torque box on the *physical* co joints only — the 6 virtual
+            # lumped-body torques are unbounded (src/dwbc.cpp:4081 uses
+            # _torque_dof - 6)
+            nphys = mdof - 6
+            eye_p = jnp.eye(nphys, dtype=dtype)
+            tau_rows = jnp.zeros((nphys, nv), dtype=dtype).at[:, t_i : t_i + nphys].set(eye_p)
+            rows += [qdd_rows, -qdd_rows, tau_rows, -tau_rows]
+            ubs += [jnp.full(mdof, 10.0, dtype)] * 2 + [jnp.full(nphys, 200.0, dtype)] * 2
+            A = jnp.concatenate(rows, axis=0)
+            ub = jnp.concatenate(ubs, axis=0)
+
+            sol = solve_qp(H, g, A, None, ub, Aeq, beq, iters=self.qp_iters)
+            prev.append((J_task, fstar + sol.x[d_i:]))
+            result = sol
+
+        self.jacc_r_result = result
+        self.torque_jacc_R_ = result.x[n : n + mdof]
+        co = idx.co_dof
+        tau = jnp.zeros(self.model_dof_, dtype=dtype)
+        tau = tau.at[:co].set(self.torque_jacc_R_[:co])
+        tau = tau.at[co:].set(
+            jnp.swapaxes(rd.J_I_nc, -1, -2) @ self.torque_jacc_R_[co:]
+            + rd.N_I_nc @ rd.G_NC
+        )
+        self.torque_jacc_full_ = tau
+        return np.asarray(self.torque_jacc_R_)
+
     def ConfigureLQP_R(self, init: bool = True):
         """Reduced-coordinate LQP cascade (src/dwbc.cpp:4504-4632): same
         priority scheme as ConfigureLQP over y = [q̈_R; f_c], with nc tasks

@@ -105,3 +105,20 @@ def test_reduced_lqp_cascade(hqp_robot):
     assert np.linalg.norm(tau_nc - tau_hqp[co:]) < 0.5 * max(
         np.linalg.norm(tau_hqp[co:]), 1.0
     )
+
+
+def test_jacc_reduced_coordinates(hqp_robot):
+    """CalcTaskControlTorqueJACC_R (src/dwbc.cpp:3946-4122): reduced
+    acceleration QPs agree with the torque-level HQP on the contact chain."""
+    rd = hqp_robot
+    rd.qp_iters = 60
+    tau_hqp = rd.torque_command()
+    rd.ReducedDynamicsCalculate()
+    rd.ReducedCalcContactConstraint()
+    rd.ReducedCalcGravCompensation()
+    rd.CalcTaskControlTorqueJACC_R()
+    assert float(rd.jacc_r_result.primal_res) < 1e-8
+    full = np.asarray(rd.torque_jacc_full_)
+    co = rd._ridx.co_dof
+    assert np.linalg.norm(full[:co] - tau_hqp[:co]) < 0.1 * np.linalg.norm(tau_hqp[:co])
+    rd.qp_iters = 25
