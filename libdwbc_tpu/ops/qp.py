@@ -108,7 +108,7 @@ def _one_sided(A, lb, ub):
 @partial(jax.jit, static_argnames=("iters", "ridge", "backend"))
 def solve_qp(
     H, g, A, lb, ub, Aeq=None, beq=None, iters: int = 30, ridge: float = 1.0e-9,
-    backend: str = "auto",
+    backend: str = "auto", warm=None,
 ) -> QPSolution:
     """Solve one (or a batch of) dense QPs.  All args broadcast on leading dims.
 
@@ -123,7 +123,7 @@ def solve_qp(
     pure-XLA path; 'pallas' forces the kernel.
     """
     n = H.shape[-1]
-    if backend != "xla" and _pallas_eligible(H, g, A, lb, ub, Aeq, backend):
+    if warm is None and backend != "xla" and _pallas_eligible(H, g, A, lb, ub, Aeq, backend):
         from .pallas_qp import pallas_qp_solve
 
         m_ = A.shape[-2]
@@ -169,10 +169,25 @@ def solve_qp(
     Hr = H + ridge * jnp.eye(n, dtype=dtype)
     unrolled = n <= _UNROLL_LIMIT
 
-    x0 = jnp.zeros(jnp.broadcast_shapes(H.shape[:-2], A.shape[:-2]) + (n,), dtype=dtype)
-    s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), 1.0)
-    lam0 = jnp.ones_like(s0)
-    nu0 = jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype)
+    if warm is not None:
+        # hot-start from a previous tick's primal/dual point (the analog of
+        # qpOASES' persistent active set, include/dwbc.h:222-228): pull the
+        # slacks/multipliers back to the interior so the IPM can move.
+        x_w, lam_w = warm
+        x0 = x_w * jnp.ones(
+            jnp.broadcast_shapes(H.shape[:-2], A.shape[:-2]) + (n,), dtype=dtype
+        )
+        s_floor_w = 1e-4 if f32 else 1e-6
+        s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), s_floor_w)
+        lam0 = jnp.maximum(lam_w, s_floor_w)
+        nu0 = jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype)
+    else:
+        x0 = jnp.zeros(
+            jnp.broadcast_shapes(H.shape[:-2], A.shape[:-2]) + (n,), dtype=dtype
+        )
+        s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), 1.0)
+        lam0 = jnp.ones_like(s0)
+        nu0 = jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype)
 
     s_floor = 1e-10 if f32 else 1e-14
     w_cap = 1e8 if f32 else 1e12

@@ -106,3 +106,23 @@ def test_semidefinite_hessian():
     sol = solve_qp(jnp.array(H), jnp.array(g), jnp.array(A), jnp.array(lb), jnp.array(ub))
     assert float(sol.primal_res) < 1e-8
     assert np.isfinite(np.asarray(sol.x)).all()
+
+
+def test_warm_start():
+    """Hot-start from a previous solution (the reference keeps persistent
+    qpOASES objects for this, include/dwbc.h:222-228): a warm low-iteration
+    solve on a perturbed problem converges where a cold one cannot."""
+    rng = np.random.default_rng(21)
+    H, g, A, lb, ub = _random_qp(rng, 10, 18)
+    ref = solve_qp(jnp.array(H), jnp.array(g), jnp.array(A), jnp.array(lb), jnp.array(ub), iters=40)
+
+    g2 = g + 0.01 * rng.standard_normal(10)
+    ref2 = solve_qp(jnp.array(H), jnp.array(g2), jnp.array(A), jnp.array(lb), jnp.array(ub), iters=40)
+
+    warm = solve_qp(
+        jnp.array(H), jnp.array(g2), jnp.array(A), jnp.array(lb), jnp.array(ub),
+        iters=4, warm=(ref.x, ref.lam),
+    )
+    err_warm = np.linalg.norm(np.asarray(warm.x) - np.asarray(ref2.x))
+    assert err_warm < 1e-4
+    assert float(warm.primal_res) < 1e-8
