@@ -49,6 +49,12 @@ class RobotData:
         self.torque_task_ = None
         self.torque_contact_ = None
         self.qp_iters = 25
+        # QP health bookkeeping (the reference counts qpOASES successes in
+        # its data_confirmation harness and stores per-QP timing fields;
+        # here every solve's gap/primal-residual is recorded)
+        self.qp_success_count_ = 0
+        self.qp_fail_count_ = 0
+        self.qp_history_ = []
 
     # ------------------------------------------------------------ model
     def LoadModelData(self, urdf_path: str, floating: bool = True, verbose: int = 0):
@@ -349,6 +355,7 @@ class RobotData:
                     A_const, A_rot, tlim, iters=self.qp_iters,
                 )
                 self.qp_results.append(res)
+                self._record_qp(f"task{h}", res.gap, res.primal_res)
                 torque_h = tf.J_kt @ tf.Lambda_task @ (fstar + res.f_star_delta)
                 torque_contact = self.cspace.NwJw @ res.contact_qp
             else:
@@ -377,6 +384,7 @@ class RobotData:
                 A_const, A_rot, tlim, iters=self.qp_iters,
             )
             self.cf_redis_qp_ = sol.x
+            self._record_qp("redistribution", sol.gap, sol.primal_res)
             self.torque_contact_ = self.torque_contact_ + self.cspace.NwJw @ sol.x
             return 1
         # closed-form two-foot redistribution (src/dwbc.cpp:1572-1612)
@@ -1130,6 +1138,26 @@ class RobotData:
         tc = tc.at[: self.contact_dof_].set(tcR[: self.contact_dof_])
         self.torque_contact_ = tc
         return 1
+
+    def _record_qp(self, name: str, gap, primal_res, tol: float = 1e-5):
+        ok = bool(primal_res < tol)
+        self.qp_success_count_ += int(ok)
+        self.qp_fail_count_ += int(not ok)
+        self.qp_history_.append(
+            dict(name=name, gap=float(gap), primal_res=float(primal_res), ok=ok)
+        )
+
+    def GetQPStats(self):
+        """Solver health summary (the reference's data_confirmation role:
+        success counters over repeated solves, sp_test/data_confirmation)."""
+        n = len(self.qp_history_)
+        return dict(
+            solves=n,
+            success=self.qp_success_count_,
+            fail=self.qp_fail_count_,
+            worst_primal_res=max((h["primal_res"] for h in self.qp_history_), default=0.0),
+            worst_gap=max((h["gap"] for h in self.qp_history_), default=0.0),
+        )
 
     # ------------------------------------------------------------ observers
     def getContactForce(self, command_torque):
