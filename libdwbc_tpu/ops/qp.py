@@ -136,15 +136,30 @@ def solve_qp(
         ub_f = jnp.isfinite(ub) & (jnp.abs(ub) < _BIG)
         C_ = A * ub_f[..., :, None]
         d_ = jnp.where(ub_f, ub, 1.0)
+        Hb = jnp.broadcast_to(H, bshape + (n, n)).reshape(B, n, n).astype(jnp.float32)
+        gb = jnp.broadcast_to(g, bshape + (n,)).reshape(B, n).astype(jnp.float32)
+        Cb = jnp.broadcast_to(C_, bshape + (m_, n)).reshape(B, m_, n).astype(jnp.float32)
+        db = jnp.broadcast_to(d_, bshape + (m_,)).reshape(B, m_).astype(jnp.float32)
+        # Bucket (n, m) to fixed sizes so every QP in a pipeline shares ONE
+        # Mosaic kernel compilation: padded variables get an identity
+        # Hessian block (solution 0), padded rows become 0·x ≤ 1.
+        n_pad = max(16, -(-n // 8) * 8)
+        m_pad = -(-m_ // 32) * 32
+        if n_pad != n:
+            eyep = jnp.zeros((B, n_pad, n_pad), jnp.float32)
+            eyep = eyep.at[:, :n, :n].set(Hb)
+            eyep = eyep.at[:, jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+            Hb = eyep
+            gb = jnp.pad(gb, ((0, 0), (0, n_pad - n)))
+            Cb = jnp.pad(Cb, ((0, 0), (0, 0), (0, n_pad - n)))
+        if m_pad != m_:
+            Cb = jnp.pad(Cb, ((0, 0), (0, m_pad - m_), (0, 0)))
+            db = jnp.pad(db, ((0, 0), (0, m_pad - m_)), constant_values=1.0)
         x, s, lam = pallas_qp_solve(
-            jnp.broadcast_to(H, bshape + (n, n)).reshape(B, n, n).astype(jnp.float32),
-            jnp.broadcast_to(g, bshape + (n,)).reshape(B, n).astype(jnp.float32),
-            jnp.broadcast_to(C_, bshape + (m_, n)).reshape(B, m_, n).astype(jnp.float32),
-            jnp.broadcast_to(d_, bshape + (m_,)).reshape(B, m_).astype(jnp.float32),
-            iters=iters, ridge=max(ridge, 1e-6),
+            Hb, gb, Cb, db, iters=iters, ridge=max(ridge, 1e-6),
         )
-        x = x.reshape(bshape + (n,))
-        lam = lam.reshape(bshape + (m_,))
+        x = x[..., :n].reshape(bshape + (n,))
+        lam = lam[..., :m_].reshape(bshape + (m_,))
         d_b = jnp.broadcast_to(d_, bshape + (m_,))
         C_b = jnp.broadcast_to(C_, bshape + (m_, n))
         slack = d_b - jnp.einsum("...ij,...j->...i", C_b, x)
