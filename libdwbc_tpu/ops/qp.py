@@ -143,7 +143,7 @@ def solve_qp(
         # Bucket (n, m) to fixed sizes so every QP in a pipeline shares ONE
         # Mosaic kernel compilation: padded variables get an identity
         # Hessian block (solution 0), padded rows become 0·x ≤ 1.
-        n_pad = max(16, -(-n // 8) * 8)
+        n_pad = max(12, -(-n // 4) * 4)
         m_pad = -(-m_ // 32) * 32
         if n_pad != n:
             eyep = jnp.zeros((B, n_pad, n_pad), jnp.float32)
