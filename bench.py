@@ -78,7 +78,10 @@ def main():
         for f in fstars
     )
 
-    vt = jax.vmap(tick._tick_impl, in_axes=(0, 0, 0))
+    # native broadcast over the leading batch dim (NOT vmap: under vmap the
+    # QP layer sees unbatched shapes and cannot route to the Pallas
+    # lane-batched megakernel — verified by tracing _pallas_eligible)
+    vt = tick._tick_impl
 
     @jax.jit
     def chained(q0, qd0, fstars_):

@@ -29,8 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 8 * 128  # scenarios per grid step
 
 
-def _make_kernel(n: int, m: int, iters: int, ridge: float):
-    def kernel(H_ref, g_ref, C_ref, d_ref, x_ref, s_ref, lam_ref):
+def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
+    def kernel(H_ref, g_ref, C_ref, d_ref, *rest):
+        if warm:
+            x0_ref, lam0_ref, x_ref, s_ref, lam_ref = rest
+        else:
+            x_ref, s_ref, lam_ref = rest
         H = H_ref[:]          # (n, n, 8, 128)
         g = g_ref[:]          # (n, 8, 128)
         C = C_ref[:]          # (m, n, 8, 128)
@@ -130,9 +134,16 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float):
             ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), 1e20)
             return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0))
 
-        x0 = jnp.zeros_like(g)
-        s0 = jnp.maximum(d - matvec_C(x0), 1.0)
-        lam0 = jnp.ones_like(s0)
+        if warm:
+            # hot-start from a previous tick's primal/dual point: pull the
+            # slacks/multipliers back to the interior so the IPM can move
+            x0 = x0_ref[:]
+            s0 = jnp.maximum(d - matvec_C(x0), 1e-4)
+            lam0 = jnp.maximum(lam0_ref[:], 1e-4)
+        else:
+            x0 = jnp.zeros_like(g)
+            s0 = jnp.maximum(d - matvec_C(x0), 1.0)
+            lam0 = jnp.ones_like(s0)
 
         def body(_, carry):
             x, s, lam = carry
@@ -161,11 +172,13 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float):
 
 @functools.partial(jax.jit, static_argnames=("iters", "ridge", "interpret"))
 def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
-                    interpret: bool = False):
+                    interpret: bool = False, x0=None, lam0=None):
     """Solve B one-sided QPs (min ½xᵀHx+gᵀx s.t. Cx ≤ d).
 
     H (B,n,n), g (B,n), C (B,m,n), d (B,m); H/g/C/d may also be unbatched
     (broadcast).  B is padded to a multiple of 1024 internally.
+    Optional x0/lam0 (B,n)/(B,m) warm-start the IPM from a previous
+    solution (the qpOASES hot-start analog, include/dwbc.h:222-228).
     Returns (x, s, lam) with the original batch size.
     """
     B = C.shape[0] if C.ndim == 3 else g.shape[0]
@@ -194,7 +207,8 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
     Ct = to_tiles(C, (m, n))
     dt = to_tiles(d, (m,), pad_value=1.0)  # padded scenarios: 0·x ≤ 1
 
-    kernel = _make_kernel(n, m, iters, ridge)
+    warm = x0 is not None
+    kernel = _make_kernel(n, m, iters, ridge, warm=warm)
 
     def spec(*lead):
         L = len(lead)
@@ -204,6 +218,13 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
             memory_space=pltpu.VMEM,
         )
 
+    ins = [Ht, gt, Ct, dt]
+    in_specs = [spec(n, n), spec(n), spec(m, n), spec(m)]
+    if warm:
+        ins.append(to_tiles(jnp.broadcast_to(x0, (B, n)), (n,)))
+        ins.append(to_tiles(jnp.broadcast_to(lam0, (B, m)), (m,), pad_value=1.0))
+        in_specs += [spec(n), spec(m)]
+
     out_shape = [
         jax.ShapeDtypeStruct((n, R, 128), dtype),
         jax.ShapeDtypeStruct((m, R, 128), dtype),
@@ -212,11 +233,11 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
     x, s, lam = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[spec(n, n), spec(n), spec(m, n), spec(m)],
+        in_specs=in_specs,
         out_specs=[spec(n), spec(m), spec(m)],
         out_shape=out_shape,
         interpret=interpret,
-    )(Ht, gt, Ct, dt)
+    )(*ins)
 
     def from_tiles(a, lead):
         a = jnp.moveaxis(a, (-2, -1), (0, 1)).reshape((Bp,) + lead)

@@ -123,7 +123,7 @@ def solve_qp(
     pure-XLA path; 'pallas' forces the kernel.
     """
     n = H.shape[-1]
-    if warm is None and backend != "xla" and _pallas_eligible(H, g, A, lb, ub, Aeq, backend):
+    if backend != "xla" and _pallas_eligible(H, g, A, lb, ub, Aeq, backend):
         from .pallas_qp import pallas_qp_solve
 
         m_ = A.shape[-2]
@@ -155,8 +155,18 @@ def solve_qp(
         if m_pad != m_:
             Cb = jnp.pad(Cb, ((0, 0), (0, m_pad - m_), (0, 0)))
             db = jnp.pad(db, ((0, 0), (0, m_pad - m_)), constant_values=1.0)
+        x0b = lam0b = None
+        if warm is not None:
+            x_w, lam_w = warm
+            x0b = jnp.broadcast_to(x_w, bshape + (n,)).reshape(B, n).astype(jnp.float32)
+            lam0b = jnp.broadcast_to(lam_w, bshape + (m_,)).reshape(B, m_).astype(jnp.float32)
+            if n_pad != n:
+                x0b = jnp.pad(x0b, ((0, 0), (0, n_pad - n)))
+            if m_pad != m_:
+                lam0b = jnp.pad(lam0b, ((0, 0), (0, m_pad - m_)), constant_values=1.0)
         x, s, lam = pallas_qp_solve(
             Hb, gb, Cb, db, iters=iters, ridge=max(ridge, 1e-6),
+            x0=x0b, lam0=lam0b,
         )
         x = x[..., :n].reshape(bshape + (n,))
         lam = lam[..., :m_].reshape(bshape + (m_,))

@@ -56,6 +56,8 @@ class TaskQPResult(NamedTuple):
     contact_qp: jnp.ndarray     # (c-6,)
     gap: jnp.ndarray
     primal_res: jnp.ndarray
+    x: jnp.ndarray              # (t+cfree,) full primal (warm-start carry)
+    lam: jnp.ndarray            # (rows,) dual (warm-start carry)
 
 
 def solve_task_level_qp(
@@ -69,6 +71,8 @@ def solve_task_level_qp(
     A_rot,           # (...,6nc,6nc)
     torque_limit,    # (m,) or None
     iters: int = 25,
+    warm=None,       # optional (x, lam) from a previous tick's solve
+    constraint_row_mask=None,  # (...,k) 1=active cone/ZMP row (masked ticks)
 ) -> TaskQPResult:
     """One hierarchy level's QP (src/dwbc.cpp:941-1127)."""
     m = Ntorque_task.shape[-2]
@@ -103,17 +107,23 @@ def solve_task_level_qp(
     bA = jnp.einsum("...kc,...c->...k", CM, P_C) - jnp.einsum(
         "...km,...m->...k", Atemp, tau_base
     )
-    ubs.append(-bA)
+    ub_c = -bA
+    if constraint_row_mask is not None:
+        # inactive contacts' rows → ub=+inf, dropped by the solver's masking
+        ub_c = jnp.where(constraint_row_mask > 0.5, ub_c, _INF)
+    ubs.append(ub_c)
 
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
 
-    sol = solve_qp(H, g, A, None, ub, iters=iters)
+    sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm)
     return TaskQPResult(
         f_star_delta=sol.x[..., :t],
         contact_qp=sol.x[..., t:],
         gap=sol.gap,
         primal_res=sol.primal_res,
+        x=sol.x,
+        lam=sol.lam,
     )
 
 
@@ -127,6 +137,8 @@ def solve_contact_redistribution_qp(
     torque_limit,
     iters: int = 25,
     tangential_weight: bool = False,
+    warm=None,
+    constraint_row_mask=None,
 ):
     """Final redistribution QP over f_c,red (src/dwbc.cpp:1396-1561).
 
@@ -167,12 +179,14 @@ def solve_contact_redistribution_qp(
     CM = -(A_const @ A_rot)
     JT_act = J_C_INV_T[..., :, -m:]
     rows.append(CM @ JT_act @ NwJw)
-    ubs.append(
-        jnp.einsum("...kc,...c->...k", CM, P_C)
-        - jnp.einsum("...km,...m->...k", CM @ JT_act, torque_input)
+    ub_c = jnp.einsum("...kc,...c->...k", CM, P_C) - jnp.einsum(
+        "...km,...m->...k", CM @ JT_act, torque_input
     )
+    if constraint_row_mask is not None:
+        ub_c = jnp.where(constraint_row_mask > 0.5, ub_c, _INF)
+    ubs.append(ub_c)
 
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
-    sol = solve_qp(H, g, A, None, ub, iters=iters)
+    sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm)
     return sol

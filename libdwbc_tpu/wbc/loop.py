@@ -96,12 +96,48 @@ def make_control_loop(
     transition: Callable | None = None,
     K: int = 100,
     dt: float = 0.001,
+    warm_start: bool = False,
+    warm_iters: int | None = None,
 ):
     """Build a jitted K-tick on-device loop.
 
     transition(q, qdot, TickResult, dt) -> (q', qdot') runs between ticks.
+
+    warm_start=True carries each QP's primal/dual point across ticks (the
+    analog of the reference's persistent qpOASES hot-start solvers,
+    include/dwbc.h:222-228): tick 0 runs at the full iteration budget, the
+    remaining K−1 ticks at ``warm_iters`` (default: half the budget).
     """
     trans = transition or default_transition(tick.model)
+
+    if warm_start:
+        w_iters = warm_iters or max(tick.cfg.qp_iters // 2, 4)
+
+        @jax.jit
+        def loop(q0, qdot0, fstars):
+            warm0 = tick.init_warm(q0.shape[:-1])
+            res0, warm = tick._tick_impl(
+                q0, qdot0, fstars, warm=warm0, qp_iters=tick.cfg.qp_iters
+            )
+            q, qdot = trans(q0, qdot0, res0, dt)
+
+            def body(carry, _):
+                q, qdot, warm = carry
+                res, warm = tick._tick_impl(
+                    q, qdot, fstars, warm=warm, qp_iters=w_iters
+                )
+                q, qdot = trans(q, qdot, res, dt)
+                return (q, qdot, warm), (res.torque_cmd, res.qp_primal_res)
+
+            (q, qdot, _), (torques, pres) = jax.lax.scan(
+                body, (q, qdot, warm), None, length=K - 1
+            )
+            torques = jnp.concatenate([res0.torque_cmd[None], torques], axis=0)
+            pres = jnp.concatenate([res0.qp_primal_res[None], pres], axis=0)
+            return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
+                              qp_primal_res=pres)
+
+        return loop
 
     @jax.jit
     def loop(q0, qdot0, fstars):

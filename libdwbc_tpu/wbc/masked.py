@@ -1,0 +1,335 @@
+"""Masked multi-contact-mode tick: ONE compiled graph covers every mode.
+
+The reference switches contact modes by resizing every matrix at runtime
+(``SetContact`` booleans → new J_C shape, include/dwbc.h:432-474;
+``UpdateContactConstraint`` src/dwbc.cpp:433-454).  The lax.switch sweep in
+``parallel/hypotheses.py`` compiles one branch per mode; this module instead
+compiles a SINGLE graph over max-contact-shape padded arrays with a
+per-scenario boolean contact mask — the "masking over max-contact-shape
+padded arrays" design from SURVEY.md §7.  Every scenario in a batch can be
+in a *different* contact mode, which is what makes dense 4096-hypothesis
+sweeps one XLA computation with no branch divergence.
+
+Masking strategy (per factorization step):
+
+* **Λ_c** — inactive contact rows of J_C are zero; the contact Gram matrix
+  gets +1 on inactive diagonal entries (block-diagonal w.r.t. the active
+  set, so the active block's inverse is exact), then inactive rows/cols of
+  Λ_c are re-zeroed.
+* **ker(W) basis V2** — the raw kernel directions J_C[:,6:]ᵀ·Ny have rank
+  = (active contact dof − 6) < padded width; a modified Gram–Schmidt with
+  zero-drop produces orthonormal-or-zero columns, which are then compacted
+  to the left with an in-graph permutation (cumsum one-hot) so the zero
+  columns sit at deterministic tail positions.
+* **W⁺** — the identity W⁺ = (W + V2ᵀV2)⁻¹ − V2ᵀV2 holds for any
+  orthonormal basis of ker(W); zero padding columns contribute nothing.
+* **NwJw** — the reference normalizes redistribution directions against the
+  first (c−6) rows of J̄_cᵀ (src/wbd.cpp:128); the masked equivalent
+  selects the first (c_act−6) *active* rows with an in-graph selection
+  matrix and pads the inner system's dead rows/cols with identity before
+  inversion.
+* **QP constraints** — cone/ZMP rows of inactive contacts get ub = +inf
+  (the solver's row masking); padded redistribution variables have zero
+  columns everywhere and an identity Hessian block, so they solve to 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kin.engine import FK, Kinematics
+from ..model.compile import RobotModel
+from . import dynamics as dyn
+from . import types as T
+from .dynamics import ContactSpace, _psd_inv
+from .hqp import solve_contact_redistribution_qp, solve_task_level_qp
+from .pipeline import PipelineConfig, TickResult
+
+_BIG = 1.0e30
+
+
+def _orthonormalize_drop(V):
+    """Modified Gram–Schmidt over the columns of V (..., n, k): returns
+    orthonormal-or-zero columns (rank-deficient inputs yield zero columns
+    instead of garbage, unlike QR 'complete' factors)."""
+    k = V.shape[-1]
+    cols = [V[..., :, j] for j in range(k)]
+    out = []
+    for j in range(k):
+        v = cols[j]
+        for u in out:
+            v = v - jnp.sum(u * v, axis=-1, keepdims=True) * u
+        nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        keep = nrm > 1e-8
+        out.append(jnp.where(keep, v / jnp.where(keep, nrm, 1.0), 0.0))
+    return jnp.stack(out, axis=-1)
+
+
+def _compact_columns(V):
+    """Shift nonzero columns of V (..., n, k) to the left, preserving order
+    (in-graph: permutation built from a cumsum one-hot)."""
+    k = V.shape[-1]
+    nz = (jnp.linalg.norm(V, axis=-2) > 1e-10)          # (..., k)
+    pos = jnp.cumsum(nz.astype(jnp.int32), axis=-1) - 1  # target slot per col
+    tgt = jnp.arange(k)
+    # P[j, t] = 1 if column j moves to slot t
+    P = (pos[..., :, None] == tgt) & nz[..., :, None]
+    return V @ P.astype(V.dtype), jnp.sum(nz, axis=-1)
+
+
+def _selection_first_k(row_mask, k_limit):
+    """(..., c) boolean mask + per-scenario count limit → (k, c) selection
+    matrix S with S[t, i] = 1 iff row i is the t-th active row and t < limit."""
+    c = row_mask.shape[-1]
+    idx = jnp.cumsum(row_mask.astype(jnp.int32), axis=-1) - 1   # (..., c)
+    t = jnp.arange(c)
+    S = (idx[..., None, :] == t[:, None]) & row_mask[..., None, :]
+    S = S & (t[:, None] < k_limit[..., None, None])
+    return S.astype(jnp.float32)
+
+
+def masked_contact_space(J_C, A_inv, row_mask) -> ContactSpace:
+    """Contact-space factorization with per-scenario active-row masking.
+
+    J_C: (..., c_max, n) padded stacked contact jacobian with inactive rows
+    zeroed; row_mask: (..., c_max) float/bool; at least one 6D contact
+    (the first 6 rows of the base block must be full rank among active rows).
+    Mirrors ``CalculateContactConstraint`` (src/wbd.cpp:108-143) under masks.
+    """
+    c = J_C.shape[-2]
+    n = J_C.shape[-1]
+    dtype = J_C.dtype
+    rmask = row_mask.astype(dtype)
+    J_C = J_C * rmask[..., :, None]
+
+    JAinv = J_C @ A_inv
+    Mc = JAinv @ jnp.swapaxes(J_C, -1, -2)
+    Mc = 0.5 * (Mc + jnp.swapaxes(Mc, -1, -2))
+    # +1 on inactive diagonal → active block inverts exactly
+    Mc = Mc + jnp.einsum("...i,ij->...ij", 1.0 - rmask, jnp.eye(c, dtype=dtype))
+    Lambda_c = _psd_inv(Mc)
+    Lambda_c = Lambda_c * rmask[..., :, None] * rmask[..., None, :]
+    J_C_INV_T = Lambda_c @ JAinv
+    N_C = jnp.eye(n, dtype=dtype) - jnp.swapaxes(J_C, -1, -2) @ J_C_INV_T
+    A_inv_N_C = A_inv @ N_C
+    W = A_inv_N_C[..., 6:, 6:]
+    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+
+    # kernel basis of W, padded width c_max-6
+    Qf, _ = jnp.linalg.qr(J_C[..., :, 0:6], mode="complete")   # (..., c, c)
+    Ny = Qf[..., :, 6:]                                         # (..., c, c-6)
+    V2T_raw = jnp.swapaxes(J_C[..., :, 6:], -1, -2) @ Ny        # (..., n-6, c-6)
+    V2T = _orthonormalize_drop(V2T_raw)
+    V2T, _ = _compact_columns(V2T)
+    P_k = V2T @ jnp.swapaxes(V2T, -1, -2)
+    W_inv = _psd_inv(W + P_k) - P_k
+    V2 = jnp.swapaxes(V2T, -1, -2)
+
+    # NwJw with the reference's normalization against the first
+    # (c_act − 6) ACTIVE rows of J̄_cᵀ (src/wbd.cpp:128)
+    cfree = c - 6
+    if cfree > 0:
+        c_act = jnp.sum(rmask, axis=-1)
+        S = _selection_first_k(row_mask.astype(bool), c_act - 6.0)[..., :cfree, :]
+        S = S.astype(dtype)
+        inner = S @ J_C_INV_T[..., :, 6:] @ V2T                 # (..., cfree, cfree)
+        live = (jnp.arange(cfree) < (c_act - 6.0)[..., None]).astype(dtype)
+        inner = inner * live[..., :, None] * live[..., None, :]
+        inner = inner + jnp.einsum(
+            "...i,ij->...ij", 1.0 - live, jnp.eye(cfree, dtype=dtype)
+        )
+        NwJw = V2T @ jnp.linalg.inv(inner)
+        NwJw = NwJw * live[..., None, :]
+    else:
+        NwJw = jnp.zeros(W.shape[:-2] + (n - 6, 0), dtype=dtype)
+    return ContactSpace(Lambda_c, J_C_INV_T, N_C, A_inv_N_C, W, W_inv, V2, NwJw)
+
+
+class MaskedTick:
+    """One compiled WBC tick over ALL contact modes of a candidate set.
+
+    cfg.contacts is the *candidate* set (e.g. two feet + two hands); the
+    per-call ``contact_mask`` (..., n_candidates) selects the active subset
+    per scenario.  Shares the task/QP formulation with CompiledTick.
+    """
+
+    def __init__(self, model: RobotModel, cfg: PipelineConfig, dtype=jnp.float32):
+        self.model = model
+        self.cfg = cfg
+        self.kin = Kinematics(model)
+        self.dtype = dtype
+        if any(c.contact_type != T.CONTACT_6D for c in cfg.contacts):
+            raise NotImplementedError("masked tick: 6D candidate contacts only")
+        self._tick = jax.jit(self._tick_impl)
+
+    # static per-candidate constraint blocks
+    def _const_mats(self):
+        out = []
+        for c in self.cfg.contacts:
+            Z = dyn.zmp_const_matrix(c.plane_x, c.plane_y, dtype=self.dtype)
+            F = dyn.force_const_matrix(
+                c.friction_ratio, c.friction_ratio_z, dtype=self.dtype
+            )
+            out.append(jnp.concatenate([Z, F], axis=0))
+        return out
+
+    def _tick_impl(self, q, qdot, fstars, contact_mask):
+        cfg = self.cfg
+        model = self.model
+        m = model.model_dof
+        nc = len(cfg.contacts)
+        st = self.kin.update(q, qdot)
+        fk = FK(
+            R=st.R, p=st.p,
+            axis_w=jnp.einsum(
+                "...bij,bj->...bi", st.R, jnp.asarray(model.axis, self.dtype)
+            ),
+            com_w=st.com_w,
+        )
+        cmask = contact_mask.astype(self.dtype)            # (..., nc)
+        batch = jnp.broadcast_shapes(q.shape[:-1], contact_mask.shape[:-1])
+
+        # padded contact jacobian + row mask
+        Js = []
+        for c in cfg.contacts:
+            J = self.kin.frame_point_jacobian(
+                fk, c.link, jnp.asarray(c.contact_point, self.dtype)
+            )
+            Js.append(J)
+        J_C = jnp.concatenate(Js, axis=-2)                 # (..., 6nc, n)
+        row_mask = jnp.repeat(cmask, 6, axis=-1)           # (..., 6nc)
+        J_C = J_C * row_mask[..., :, None]
+
+        cs = masked_contact_space(J_C, st.A_inv, row_mask)
+        torque_grav, P_C = dyn.gravity_compensation(
+            st.A_inv, cs.W_inv, cs.N_C, cs.J_C_INV_T, st.G
+        )
+
+        # constraint blocks; inactive contacts → rows masked via ub=+inf
+        consts = self._const_mats()
+        k_tot = sum(cm.shape[0] for cm in consts)
+        A_const = jnp.zeros((k_tot, 6 * nc), dtype=self.dtype)
+        r = 0
+        for i, cm in enumerate(consts):
+            A_const = A_const.at[r : r + cm.shape[0], 6 * i : 6 * i + 6].set(cm)
+            r += cm.shape[0]
+        A_rot = jnp.zeros(batch + (6 * nc, 6 * nc), dtype=self.dtype)
+        for i, c in enumerate(cfg.contacts):
+            RT = jnp.swapaxes(st.R[..., c.link, :, :], -1, -2)
+            RT = jnp.broadcast_to(RT, batch + (3, 3))
+            A_rot = A_rot.at[..., 6 * i : 6 * i + 3, 6 * i : 6 * i + 3].set(RT)
+            A_rot = A_rot.at[..., 6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6].set(RT)
+        # per-constraint-row activity mask (k_tot,)
+        crow_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(cmask[..., i : i + 1], batch + (consts[i].shape[0],))
+                for i in range(nc)
+            ],
+            axis=-1,
+        )
+
+        tlim = (
+            jnp.asarray(cfg.torque_limit, self.dtype)
+            if cfg.torque_limit is not None
+            else None
+        )
+
+        def mask_ub(ub_rows):
+            """Blocks of (torque-limit rows ..., constraint rows): lift the
+            inactive constraint rows to +inf so the solver drops them."""
+            return jnp.where(crow_mask > 0.5, ub_rows, _BIG)
+
+        eye_m = jnp.broadcast_to(jnp.eye(m, dtype=self.dtype), batch + (m, m))
+        torque_task = jnp.zeros(batch + (m,), dtype=self.dtype)
+        torque_contact = jnp.zeros(batch + (m,), dtype=self.dtype)
+        gap = jnp.zeros(batch, dtype=self.dtype)
+        pres = jnp.zeros(batch, dtype=self.dtype)
+
+        prev_null = eye_m
+        for h in range(len(cfg.task_specs)):
+            J_task = self._task_jacobian(st, h)
+            tf = dyn.task_jkt(J_task, st.A_inv, cs.N_C, cs.W_inv)
+            fstar = fstars[h]
+            if cfg.use_hqp:
+                Ntorque = prev_null @ tf.J_kt @ tf.Lambda_task
+                res = solve_task_level_qp(
+                    Ntorque, fstar, torque_grav + torque_task,
+                    cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,
+                    iters=cfg.qp_iters, constraint_row_mask=crow_mask,
+                )
+                torque_h = jnp.einsum(
+                    "...mt,...t->...m", tf.J_kt @ tf.Lambda_task,
+                    fstar + res.f_star_delta,
+                )
+                torque_contact = jnp.einsum(
+                    "...mc,...c->...m", cs.NwJw, res.contact_qp
+                )
+                gap = jnp.maximum(gap, res.gap)
+                pres = jnp.maximum(pres, res.primal_res)
+            else:
+                torque_h = jnp.einsum(
+                    "...mt,...t->...m", tf.J_kt @ tf.Lambda_task, fstar
+                )
+            if h == 0:
+                torque_task = torque_h
+            else:
+                torque_task = torque_task + jnp.einsum(
+                    "...mn,...n->...m", prev_null, torque_h
+                )
+            prev_null = dyn.task_null_space(
+                tf.J_kt, tf.Lambda_task, J_task, cs.A_inv_N_C, prev_null
+            )
+
+        if cfg.use_hqp and cs.NwJw.shape[-1] > 0:
+            torque_input = torque_grav + torque_task + torque_contact
+            sol = solve_contact_redistribution_qp(
+                torque_input, cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,
+                iters=cfg.qp_iters, constraint_row_mask=crow_mask,
+            )
+            torque_contact = torque_contact + jnp.einsum(
+                "...mc,...c->...m", cs.NwJw, sol.x
+            )
+            gap = jnp.maximum(gap, sol.gap)
+            pres = jnp.maximum(pres, sol.primal_res)
+
+        torque_cmd = torque_grav + torque_task + torque_contact
+        cforce = dyn.contact_force_from_torque(torque_cmd, cs.J_C_INV_T, P_C)
+        return TickResult(
+            torque_grav=torque_grav,
+            torque_task=torque_task,
+            torque_contact=torque_contact,
+            torque_cmd=torque_cmd,
+            contact_force=cforce,
+            qp_gap=gap,
+            qp_primal_res=pres,
+        )
+
+    def _task_jacobian(self, st, level: int):
+        rows = []
+        for mode, link in self.cfg.task_specs[level]:
+            if link == self.model.nbody:
+                J6 = st.Jcom_total
+            elif mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
+                J6 = st.Jcom[..., link, :, :]
+            else:
+                J6 = st.J[..., link, :, :]
+            if mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
+                        T.TASK_LINK_6D_CUSTOM_FRAME):
+                rows.append(J6)
+            elif mode in (T.TASK_LINK_POSITION, T.TASK_LINK_POSITION_COM_FRAME,
+                          T.TASK_LINK_POSITION_CUSTOM_FRAME):
+                rows.append(J6[..., 0:3, :])
+            else:
+                rows.append(J6[..., 3:6, :])
+        return jnp.concatenate(rows, axis=-2)
+
+    def __call__(self, q, qdot, fstars, contact_mask) -> TickResult:
+        q = jnp.asarray(q, self.dtype)
+        qdot = jnp.asarray(qdot, self.dtype)
+        fstars = tuple(jnp.asarray(f, self.dtype) for f in fstars)
+        contact_mask = jnp.asarray(contact_mask)
+        return self._tick(q, qdot, fstars, contact_mask)

@@ -63,7 +63,7 @@ class CompiledTick:
         self.cfg = cfg
         self.kin = Kinematics(model)
         self.dtype = dtype
-        self._tick = jax.jit(self._tick_impl)
+        self._tick = jax.jit(self._tick_impl, static_argnames=("qp_iters",))
 
     # -------------------------------------------------------------- pieces
     def _fk_from_state(self, st):
@@ -121,8 +121,37 @@ class CompiledTick:
                 rows.append(J6[..., 3:6, :])
         return jnp.concatenate(rows, axis=-2)
 
+    # ------------------------------------------------------ warm-start carry
+    def _level_dims(self):
+        """Static (nv, rows) of each QP in the tick, in call order: one per
+        task level then the redistribution QP."""
+        cfg = self.cfg
+        m = self.model.model_dof
+        cdof = sum(c.contact_dof for c in cfg.contacts)
+        cfree = cdof - 6
+        k = 10 * len(cfg.contacts)  # 4 ZMP + 6 cone rows per contact
+        lim_rows = 2 * m if cfg.torque_limit is not None else 0
+        dims = []
+        for level in cfg.task_specs:
+            t = sum(
+                6 if mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
+                              T.TASK_LINK_6D_CUSTOM_FRAME) else 3
+                for mode, _ in level
+            )
+            dims.append((t + cfree, lim_rows + k))
+        dims.append((cfree, lim_rows + k))
+        return dims
+
+    def init_warm(self, batch=()):
+        """Cold-start warm state: one (x, λ) pair per QP in the tick
+        (x = 0, λ = 1 — the solver's cold initial point up to slack floors)."""
+        return tuple(
+            (jnp.zeros(batch + (nv,), self.dtype), jnp.ones(batch + (rows,), self.dtype))
+            for nv, rows in self._level_dims()
+        )
+
     # ---------------------------------------------------------------- tick
-    def _tick_impl(self, q, qdot, fstars):
+    def _tick_impl(self, q, qdot, fstars, warm=None, qp_iters=None):
         cfg = self.cfg
         m = self.model.model_dof
         st = self.kin.update(q, qdot)
@@ -154,6 +183,8 @@ class CompiledTick:
         torque_contact = jnp.zeros(batch + (m,), dtype=self.dtype)
         gap = jnp.zeros(batch, dtype=self.dtype)
         pres = jnp.zeros(batch, dtype=self.dtype)
+        iters = cfg.qp_iters if qp_iters is None else qp_iters
+        warm_out = []
 
         prev_null = eye_m
         for h in range(len(cfg.task_specs)):
@@ -165,8 +196,10 @@ class CompiledTick:
                 res = solve_task_level_qp(
                     Ntorque, fstar, torque_grav + torque_task,
                     cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,
-                    iters=cfg.qp_iters,
+                    iters=iters,
+                    warm=None if warm is None else warm[h],
                 )
+                warm_out.append((res.x, res.lam))
                 torque_h = jnp.einsum(
                     "...mt,...t->...m", tf.J_kt @ tf.Lambda_task,
                     fstar + res.f_star_delta,
@@ -192,8 +225,10 @@ class CompiledTick:
             torque_input = torque_grav + torque_task + torque_contact
             sol = solve_contact_redistribution_qp(
                 torque_input, cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,
-                iters=cfg.qp_iters,
+                iters=iters,
+                warm=None if warm is None else warm[len(cfg.task_specs)],
             )
+            warm_out.append((sol.x, sol.lam))
             torque_contact = torque_contact + jnp.einsum(
                 "...mc,...c->...m", cs.NwJw, sol.x
             )
@@ -202,7 +237,7 @@ class CompiledTick:
 
         torque_cmd = torque_grav + torque_task + torque_contact
         cforce = dyn.contact_force_from_torque(torque_cmd, cs.J_C_INV_T, P_C)
-        return TickResult(
+        result = TickResult(
             torque_grav=torque_grav,
             torque_task=torque_task,
             torque_contact=torque_contact,
@@ -211,6 +246,9 @@ class CompiledTick:
             qp_gap=gap,
             qp_primal_res=pres,
         )
+        if warm is not None:
+            return result, tuple(warm_out)
+        return result
 
     def __call__(self, q, qdot, fstars) -> TickResult:
         q = jnp.asarray(q, self.dtype)
@@ -225,7 +263,7 @@ class CompiledTick:
         vmap), which lets the QP layer see the full batch and route it to the
         Pallas lane-batched megakernel on TPU.
         """
-        return jax.jit(self._tick_impl)
+        return jax.jit(self._tick_impl, static_argnames=("qp_iters",))
 
 
 def standard_tocabi_config(

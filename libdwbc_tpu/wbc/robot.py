@@ -684,6 +684,7 @@ class RobotData:
 
         self.jacc_r_result = result
         self.torque_jacc_R_ = result.x[n : n + mdof]
+        self.acc_jacc_R_ = result.x[:n]
         co = idx.co_dof
         tau = jnp.zeros(self.model_dof_, dtype=dtype)
         tau = tau.at[:co].set(self.torque_jacc_R_[:co])
@@ -693,6 +694,93 @@ class RobotData:
         )
         self.torque_jacc_full_ = tau
         return np.asarray(self.torque_jacc_R_)
+
+    def CalcTaskControlTorqueJACC_R_NC(self, prev_acc=None, init: bool = True):
+        """Non-contact-chain acceleration QP with lumped-COM coupling
+        (``CalcSingleTaskTorqueWithJACC_QP_R_NC``, src/dwbc.cpp:4124-4302).
+
+        Given the reduced JACC solution's accelerations ``prev_acc``
+        (reduced_system_dof vector: head 6 = floating-base acceleration,
+        tail 6 = lumped nc-body acceleration), solve for the nc-chain joint
+        accelerations/torques over x = [q̈_nc; τ_nc; g_acc(6); δf*]:
+
+            min ‖g_acc‖² + 5‖δf*‖²
+            s.t.  A_nc q̈_nc − τ_nc            = −G_nc        (nc EoM)
+                  J_I_nc q̈_nc − g_acc         = ḡ_prev       (COM coupling)
+                  J_task,nc q̈_nc − δf*        = f*_local     (task)
+
+        where f*_local re-expresses the task's desired acceleration relative
+        to the already-decided base motion (the reference's Ja·(f*−q̈_base)
+        with the moment-arm coupling block, src/dwbc.cpp:4151-4154).
+        Like the reference (DeleteSubjectToX, src/dwbc.cpp:4292), the box
+        bounds are not enforced.  Returns τ_nc."""
+        from ..kin.rotations import skew as _skew
+        from ..ops.qp import solve_qp
+
+        st = self.state
+        idx = self._ridx
+        rd = self.rdyn
+        dtype = self.dtype
+        ncd = idx.nc_dof
+        ncj = jnp.asarray(idx.nc_joints)
+        if prev_acc is None:
+            prev_acc = self.acc_jacc_R_
+        prev_acc = jnp.asarray(prev_acc, dtype)
+        prev_gacc = prev_acc[..., -6:]
+        prev_pelv = prev_acc[..., 0:6]
+
+        # first non-contact-chain task level (the reference passes ts_.back())
+        co_set = set(idx.co_links)
+        nc_h = None
+        for h, td in enumerate(self.ts_):
+            if td.custom_dof:
+                continue
+            if any(tl.link not in co_set and tl.link != self.model.nbody
+                   for tl in td.links):
+                nc_h = h
+                break
+        if nc_h is None:
+            raise ValueError("no non-contact-chain task level configured")
+        J_task = self._task_jacobian(st, nc_h)
+        t = J_task.shape[-2]
+        Jt_nc = J_task[..., :, ncj]
+        fstar = jnp.asarray(self._fstars[nc_h], dtype)
+        link = self.ts_[nc_h].links[0].link
+        if t == 6:
+            Ja = jnp.eye(6, dtype=dtype)
+            Ja = Ja.at[0:3, 3:6].set(_skew(st.p[link] - st.p[0]))
+            fstar_local = Ja @ (fstar - prev_pelv)
+        else:  # rotation-only task: relative to base angular acceleration
+            fstar_local = fstar - prev_pelv[3:6]
+
+        nv = 2 * ncd + 6 + t
+        t_i, g_i, d_i = ncd, 2 * ncd, 2 * ncd + 6
+        H = jnp.zeros((nv, nv), dtype=dtype)
+        H = H.at[g_i:d_i, g_i:d_i].set(jnp.eye(6, dtype=dtype))
+        H = H.at[d_i:, d_i:].set(5.0 * jnp.eye(t, dtype=dtype))
+        g = jnp.zeros(nv, dtype=dtype)
+
+        Aeq = jnp.zeros((ncd + 6 + t, nv), dtype=dtype)
+        Aeq = Aeq.at[:ncd, :ncd].set(rd.A_NC_joint)
+        Aeq = Aeq.at[:ncd, t_i:g_i].set(-jnp.eye(ncd, dtype=dtype))
+        Aeq = Aeq.at[ncd : ncd + 6, :ncd].set(rd.J_I_nc)
+        Aeq = Aeq.at[ncd : ncd + 6, g_i:d_i].set(-jnp.eye(6, dtype=dtype))
+        Aeq = Aeq.at[ncd + 6 :, :ncd].set(Jt_nc)
+        Aeq = Aeq.at[ncd + 6 :, d_i:].set(-jnp.eye(t, dtype=dtype))
+        beq = jnp.concatenate([-rd.G_NC, prev_gacc, fstar_local])
+
+        # equality-only QP: one always-satisfiable dummy inequality row keeps
+        # the IPM's static shapes happy
+        A = jnp.zeros((1, nv), dtype=dtype)
+        ub = jnp.ones(1, dtype=dtype)
+        sol = solve_qp(H, g, A, None, ub, Aeq, beq, iters=self.qp_iters)
+        self.jacc_r_nc_result = sol
+        self._record_qp("jacc_r_nc", sol.gap, sol.primal_res)
+        self.acc_jacc_nc_ = sol.x[:ncd]
+        self.torque_jacc_nc_ = sol.x[t_i:g_i]
+        self.gacc_jacc_nc_ = sol.x[g_i:d_i]
+        self.fstar_jacc_nc_ = sol.x[d_i:]
+        return np.asarray(self.torque_jacc_nc_)
 
     def ConfigureLQP_R(self, init: bool = True):
         """Reduced-coordinate LQP cascade (src/dwbc.cpp:4504-4632): same

@@ -35,6 +35,33 @@ def test_closed_loop_standing(tocabi_model):
     assert float(np.asarray(res.qp_primal_res).max()) < 1e-6
 
 
+def test_warm_start_loop_matches_cold(tocabi_model):
+    """Warm-started loop (QP primal/dual carried across ticks, half the
+    iteration budget after tick 0) reproduces the cold loop's torques."""
+    from libdwbc_tpu.wbc.loop import forward_dynamics_transition, make_control_loop
+    from libdwbc_tpu.wbc.pipeline import CompiledTick, standard_tocabi_config
+
+    cfg = standard_tocabi_config(tocabi_model, qp_iters=20)
+    tick = CompiledTick(tocabi_model, cfg, dtype=jnp.float64)
+    q0 = jnp.array(full_q(CASE_Q[1]))
+    qd0 = jnp.zeros(39)
+    fstars = (jnp.zeros(6), jnp.zeros(3))
+
+    cold = make_control_loop(tick, forward_dynamics_transition(tick), K=10)(
+        q0, qd0, fstars
+    )
+    warm = make_control_loop(
+        tick, forward_dynamics_transition(tick), K=10,
+        warm_start=True, warm_iters=8,
+    )(q0, qd0, fstars)
+
+    tc, tw = np.asarray(cold.torques), np.asarray(warm.torques)
+    assert np.isfinite(tw).all()
+    assert float(np.asarray(warm.qp_primal_res).max()) < 1e-6
+    # same trajectory to solver accuracy
+    assert np.abs(tc - tw).max() < 1e-4 * max(np.abs(tc).max(), 1.0)
+
+
 def test_open_loop_hold(tocabi_model):
     from libdwbc_tpu.wbc.loop import make_control_loop
     from libdwbc_tpu.wbc.pipeline import CompiledTick, standard_tocabi_config

@@ -107,6 +107,36 @@ def test_reduced_lqp_cascade(hqp_robot):
     )
 
 
+def test_jacc_r_nc_chain(hqp_robot):
+    """CalcTaskControlTorqueJACC_R_NC (src/dwbc.cpp:4124-4302): nc-chain
+    acceleration QP coupled to the reduced solution through the lumped-body
+    COM-acceleration equality."""
+    rd = hqp_robot
+    rd.qp_iters = 60
+    rd.ReducedDynamicsCalculate()
+    rd.ReducedCalcContactConstraint()
+    rd.ReducedCalcGravCompensation()
+    rd.CalcTaskControlTorqueJACC_R()
+    tau_nc = rd.CalcTaskControlTorqueJACC_R_NC()
+    assert float(rd.jacc_r_nc_result.primal_res) < 1e-7
+    idx = rd._ridx
+    rdyn = rd.rdyn
+    qdd = np.asarray(rd.acc_jacc_nc_)
+    gacc = np.asarray(rd.gacc_jacc_nc_)
+    # nc EoM equality: A_nc q̈ + G_nc = τ_nc
+    assert np.linalg.norm(
+        np.asarray(rdyn.A_NC_joint) @ qdd + np.asarray(rdyn.G_NC) - tau_nc
+    ) < 1e-6
+    # COM coupling: J_I_nc q̈ = ḡ_prev + g_acc (slack g_acc is minimized)
+    prev_gacc = np.asarray(rd.acc_jacc_R_)[-6:]
+    assert np.linalg.norm(
+        np.asarray(rdyn.J_I_nc) @ qdd - gacc - prev_gacc
+    ) < 1e-6
+    assert np.isfinite(tau_nc).all()
+    assert tau_nc.shape == (idx.nc_dof,)
+    rd.qp_iters = 25
+
+
 def test_jacc_reduced_coordinates(hqp_robot):
     """CalcTaskControlTorqueJACC_R (src/dwbc.cpp:3946-4122): reduced
     acceleration QPs agree with the torque-level HQP on the contact chain."""

@@ -45,6 +45,36 @@ def test_interpret_matches_f64_reference():
     assert viol.max() < 1e-5
 
 
+def test_interpret_warm_start():
+    """Warm-starting from the solution converges in few iterations."""
+    rng = np.random.default_rng(2)
+    B, n, m = 4, 8, 16
+    H, g, C, d = _random_one_sided(rng, B, n, m)
+    x_cold, s, lam_cold = pallas_qp_solve(
+        jnp.array(H), jnp.array(g), jnp.array(C), jnp.array(d),
+        iters=15, interpret=True,
+    )
+    # re-solve a slightly perturbed problem warm from the previous solution
+    g2 = g + 0.01 * rng.standard_normal(g.shape).astype(np.float32)
+    x_w, _, _ = pallas_qp_solve(
+        jnp.array(H), jnp.array(g2), jnp.array(C), jnp.array(d),
+        iters=6, interpret=True, x0=x_cold, lam0=lam_cold,
+    )
+    ref = solve_qp(
+        jnp.array(H, jnp.float64), jnp.array(g2, jnp.float64),
+        jnp.array(C, jnp.float64), None, jnp.array(d, jnp.float64), iters=30,
+    )
+    assert np.abs(np.asarray(x_w) - np.asarray(ref.x)).max() < 5e-3
+    # 6 cold iterations would NOT be enough on these problems
+    x_cold6, _, _ = pallas_qp_solve(
+        jnp.array(H), jnp.array(g2), jnp.array(C), jnp.array(d),
+        iters=6, interpret=True,
+    )
+    err_w = np.abs(np.asarray(x_w) - np.asarray(ref.x)).max()
+    err_c = np.abs(np.asarray(x_cold6) - np.asarray(ref.x)).max()
+    assert err_w <= err_c + 1e-6
+
+
 def test_interpret_batch_padding():
     """Batch sizes that are not a multiple of the 1024-scenario tile."""
     rng = np.random.default_rng(1)
