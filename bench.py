@@ -65,7 +65,7 @@ def main():
     rtt = _rtt(jax, jnp)
 
     B = 1024
-    K = 4
+    K = 8  # tick 0 cold (12 iters) + K-1 warm ticks; amortizes the cold start
     rng = np.random.default_rng(0)
     qs = np.tile(q, (B, 1)).astype(np.float32)
     qs[:, 6:39] += 0.02 * rng.standard_normal((B, 33)).astype(np.float32)
@@ -81,17 +81,36 @@ def main():
     # native broadcast over the leading batch dim (NOT vmap: under vmap the
     # QP layer sees unbatched shapes and cannot route to the Pallas
     # lane-batched megakernel — verified by tracing _pallas_eligible)
-    vt = tick._tick_impl
+    #
+    # Warm-start serving shape: consecutive control ticks hot-start each QP
+    # from the previous tick's primal/dual point — exactly the reference's
+    # persistent qpOASES hot-start mode (include/dwbc.h:222-228).  Tick 0
+    # runs the full iteration budget; subsequent ticks run WARM_ITERS.
+    # Accuracy is *measured*, not assumed: qp_gap/qp_primal_res maxima over
+    # every tick (including the warm ones) are reported in the JSON line.
+    WARM_ITERS = int(os.environ.get("DWBC_BENCH_WARM_ITERS", "7"))
 
     @jax.jit
     def chained(q0, qd0, fstars_):
+        warm0 = tick.init_warm((q0.shape[0],))
+        res0, warm = tick._tick_impl(q0, qd0, fstars_, warm=warm0, qp_iters=12)
+        dq = 1e-6 * jnp.tanh(res0.torque_cmd[:, : model.model_dof])
+        q1 = q0.at[:, 6 : 6 + model.model_dof].add(dq)
+
         def body(carry, _):
-            qq, qqd = carry
-            res = vt(qq, qqd, fstars_)
+            qq, qqd, w = carry
+            res, w = tick._tick_impl(qq, qqd, fstars_, warm=w, qp_iters=WARM_ITERS)
             dq = 1e-6 * jnp.tanh(res.torque_cmd[:, : model.model_dof])
             qq = qq.at[:, 6 : 6 + model.model_dof].add(dq)
-            return (qq, qqd), (res.qp_gap[0], res.qp_primal_res[0])
-        (qq, _), diag = jax.lax.scan(body, (q0, qd0), None, length=K)
+            return (qq, qqd, w), (res.qp_gap[0], res.qp_primal_res[0])
+
+        (qq, _, _), diag = jax.lax.scan(
+            body, (q1, qd0, warm), None, length=K - 1
+        )
+        diag = (
+            jnp.concatenate([res0.qp_gap[0][None], diag[0]]),
+            jnp.concatenate([res0.qp_primal_res[0][None], diag[1]]),
+        )
         return qq, diag
 
     q_d = jax.device_put(qs)
@@ -119,6 +138,7 @@ def main():
                 "vs_baseline": round(solves_per_sec / 1000.0, 2),
                 "batch": B,
                 "chained_ticks": K,
+                "warm_iters": WARM_ITERS,
                 "host_device_rtt_ms": round(rtt * 1e3, 2),
                 "single_lane_ms_rtt_corrected": single_lane_ms,
                 "qp_gap_max": float(np.asarray(diag[0]).max()),
