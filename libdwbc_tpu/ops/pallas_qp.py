@@ -29,7 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 8 * 128  # scenarios per grid step
 
 
-def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
+def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
+                 mirror: int = 0):
+    """mirror > 0: the constraint matrix has the form [B; -B; D] with B the
+    first `mirror` rows (the ± torque-limit pairs every WBC QP carries,
+    src/dwbc.cpp:1001-1016).  The kernel then receives only [B; D]
+    (m - mirror rows) and folds the ± pair inside every m-reduction —
+    slacks/multipliers/d stay full-length m."""
+    mr = mirror
+    me = m - mr  # stored constraint rows: [B (mr); D (me - mr)]
+
     def kernel(H_ref, g_ref, C_ref, d_ref, *rest):
         if warm:
             x0_ref, lam0_ref, x_ref, s_ref, lam_ref = rest
@@ -37,7 +46,7 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
             x_ref, s_ref, lam_ref = rest
         H = H_ref[:]          # (n, n, 8, 128)
         g = g_ref[:]          # (n, 8, 128)
-        C = C_ref[:]          # (m, n, 8, 128)
+        C = C_ref[:]          # (me, n, 8, 128)
         d = d_ref[:]          # (m, 8, 128)
         f32 = H.dtype == jnp.float32
 
@@ -49,21 +58,23 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
         #  2D eye into the 4D tile layout)
 
         def chol(K):
-            """(n, n, 8, 128) unrolled Cholesky, batch in the trailing tile."""
-            S = K
+            """Unrolled right-looking Cholesky on the lower triangle only
+            (n³/6 lane-batched FMAs).  K: dict {(i, j): (8, 128) tile, i ≥ j}.
+            Returns cols with cols[j][i] = L[i, j] for i ≥ j; entries above
+            the diagonal are None (never read by cho_solve_vec)."""
+            S = dict(K)
             cols = []
             for j in range(n):
-                dj = jnp.sqrt(jnp.maximum(S[j, j], 1e-30))
+                dj = jnp.sqrt(jnp.maximum(S[(j, j)], 1e-30))
                 inv_d = 1.0 / dj
-                col = [
-                    S[i, j] * inv_d if i > j else
-                    (dj if i == j else jnp.zeros_like(dj))
-                    for i in range(n)
-                ]
+                col = [None] * n
+                col[j] = dj
+                for i in range(j + 1, n):
+                    col[i] = S[(i, j)] * inv_d
                 cols.append(col)
-                upd = jnp.stack(col, axis=0)            # (n, 8, 128)
-                S = S - upd[:, None] * upd[None, :]
-            # L[i][j] = cols[j][i]
+                for i in range(j + 1, n):
+                    for k in range(j + 1, i + 1):
+                        S[(i, k)] = S[(i, k)] - col[i] * col[k]
             return cols
 
         def cho_solve_vec(Lcols, b):
@@ -82,14 +93,27 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
                 x[i] = acc / Lcols[i][i]
             return jnp.stack(x, axis=0)
 
-        def matvec_C(x):      # (m, 8, 128) = C @ x
+        def matvec_C(x):      # (m, 8, 128) = [B; -B; D] @ x
             acc = C[:, 0] * x[0]
             for j in range(1, n):
                 acc = acc + C[:, j] * x[j]
-            return acc
+            if mr == 0:
+                return acc
+            return jnp.concatenate([acc[:mr], -acc[:mr], acc[mr:]], axis=0)
 
-        def matvec_CT(v):     # (n, 8, 128) = Cᵀ @ v
-            return jnp.sum(C * v[:, None], axis=0)
+        def _fold(v, combine):
+            """Fold a full-m vector onto the stored rows: the ±B pair's
+            entries combine (v₁ − v₂ for transpose-matvecs, v₁ + v₂ for
+            diag weights); D rows pass through."""
+            if mr == 0:
+                return v
+            return jnp.concatenate(
+                [combine(v[:mr], v[mr : 2 * mr]), v[2 * mr :]], axis=0
+            )
+
+        def matvec_CT(v):     # (n, 8, 128) = [B; -B; D]ᵀ @ v
+            veff = _fold(v, lambda a, b: a - b)
+            return jnp.sum(C * veff[:, None], axis=0)
 
         def matvec_H(x):
             # explicit row loop: Mosaic cannot lower multi-batch-dim einsums
@@ -102,29 +126,31 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
             return jnp.stack(rows, axis=0)
 
         def gram(w):
-            """K = Hr + Cᵀ diag(w) C — per-element reductions over m
-            (the batch tile stays on the VPU lanes; symmetric half only)."""
-            Cw = C * w[:, None]
+            """Lower triangle of K = Hr + Cᵀ diag(w) C as {(i, j): tile}
+            — per-element reductions over the stored rows, batch tile on the
+            VPU lanes; feeds chol() directly (no dense n×n stack)."""
+            Cw = C * _fold(w, lambda a, b: a + b)[:, None]
             cache = {}
             for i in range(n):
                 for j in range(i + 1):
                     cache[(i, j)] = H[i, j] + jnp.sum(Cw[:, i] * C[:, j], axis=0)
                 cache[(i, i)] = cache[(i, i)] + ridge
-            rows = [
-                jnp.stack([cache[(max(i, j), min(i, j))] for j in range(n)], axis=0)
-                for i in range(n)
-            ]
-            return jnp.stack(rows, axis=0)
+            return cache
 
-        def newton(x, s, lam, sigma_mu):
+        def factor(x, s, lam):
+            """Predictor and corrector share (r_d, r_p, w, K, chol(K)) —
+            factor once per iteration, back-solve twice."""
             s_safe = jnp.maximum(s, s_floor)
             r_d = matvec_H(x) + g + matvec_CT(lam)
             r_p = matvec_C(x) + s - d
-            r_c = s * lam - sigma_mu
             w = jnp.clip(lam / s_safe, 0.0, w_cap)
-            K = gram(w)
+            L = chol(gram(w))
+            return s_safe, r_d, r_p, w, L
+
+        def newton(fac, s, lam, sigma_mu):
+            s_safe, r_d, r_p, w, L = fac
+            r_c = s * lam - sigma_mu
             rhs = -r_d - matvec_CT(w * r_p - r_c / s_safe)
-            L = chol(K)
             dx = cho_solve_vec(L, rhs)
             ds = -(r_p + matvec_C(dx))
             dlam = -(r_c + lam * ds) / s_safe
@@ -149,13 +175,14 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
             x, s, lam = carry
             mu = jnp.sum(s * lam, axis=0) / m
             live = (mu > mu_tol).astype(H.dtype)
-            dx_a, ds_a, dlam_a = newton(x, s, lam, jnp.zeros_like(s))
+            fac = factor(x, s, lam)
+            dx_a, ds_a, dlam_a = newton(fac, s, lam, jnp.zeros_like(s))
             a_p = alpha_max(s, ds_a)
             a_d = alpha_max(lam, dlam_a)
             mu_aff = jnp.sum((s + a_p * ds_a) * (lam + a_d * dlam_a), axis=0) / m
             sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
             target = sigma * mu - ds_a * dlam_a
-            dx, ds, dlam = newton(x, s, lam, target)
+            dx, ds, dlam = newton(fac, s, lam, target)
             a = live * jnp.minimum(alpha_max(s, ds), alpha_max(lam, dlam))
             dx = jnp.nan_to_num(dx)
             ds = jnp.nan_to_num(ds)
@@ -170,15 +197,19 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "ridge", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iters", "ridge", "interpret",
+                                              "mirror"))
 def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
-                    interpret: bool = False, x0=None, lam0=None):
+                    interpret: bool = False, x0=None, lam0=None,
+                    mirror: int = 0):
     """Solve B one-sided QPs (min ½xᵀHx+gᵀx s.t. Cx ≤ d).
 
     H (B,n,n), g (B,n), C (B,m,n), d (B,m); H/g/C/d may also be unbatched
     (broadcast).  B is padded to a multiple of 1024 internally.
     Optional x0/lam0 (B,n)/(B,m) warm-start the IPM from a previous
     solution (the qpOASES hot-start analog, include/dwbc.h:222-228).
+    mirror > 0 asserts C[mirror:2*mirror] == -C[:mirror] (the ± torque-limit
+    row pairs); the kernel then stores/reduces only m - mirror rows.
     Returns (x, s, lam) with the original batch size.
     """
     B = C.shape[0] if C.ndim == 3 else g.shape[0]
@@ -190,6 +221,10 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
     g = jnp.broadcast_to(g, (B, n))
     C = jnp.broadcast_to(C, (B, m, n))
     d = jnp.broadcast_to(d, (B, m))
+    if mirror:
+        # drop the redundant -B block; the kernel reconstructs it on the fly
+        C = jnp.concatenate([C[:, :mirror], C[:, 2 * mirror :]], axis=1)
+    me = m - mirror
 
     Bp = ((B + TILE - 1) // TILE) * TILE
     R = Bp // 128
@@ -204,11 +239,11 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
 
     Ht = to_tiles(H, (n, n))
     gt = to_tiles(g, (n,))
-    Ct = to_tiles(C, (m, n))
+    Ct = to_tiles(C, (me, n))
     dt = to_tiles(d, (m,), pad_value=1.0)  # padded scenarios: 0·x ≤ 1
 
     warm = x0 is not None
-    kernel = _make_kernel(n, m, iters, ridge, warm=warm)
+    kernel = _make_kernel(n, m, iters, ridge, warm=warm, mirror=mirror)
 
     def spec(*lead):
         L = len(lead)
@@ -219,7 +254,7 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
         )
 
     ins = [Ht, gt, Ct, dt]
-    in_specs = [spec(n, n), spec(n), spec(m, n), spec(m)]
+    in_specs = [spec(n, n), spec(n), spec(me, n), spec(m)]
     if warm:
         ins.append(to_tiles(jnp.broadcast_to(x0, (B, n)), (n,)))
         ins.append(to_tiles(jnp.broadcast_to(lam0, (B, m)), (m,), pad_value=1.0))

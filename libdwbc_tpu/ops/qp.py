@@ -105,10 +105,10 @@ def _one_sided(A, lb, ub):
     return C, d
 
 
-@partial(jax.jit, static_argnames=("iters", "ridge", "backend"))
+@partial(jax.jit, static_argnames=("iters", "ridge", "backend", "mirror"))
 def solve_qp(
     H, g, A, lb, ub, Aeq=None, beq=None, iters: int = 30, ridge: float = 1.0e-9,
-    backend: str = "auto", warm=None,
+    backend: str = "auto", warm=None, mirror: int = 0,
 ) -> QPSolution:
     """Solve one (or a batch of) dense QPs.  All args broadcast on leading dims.
 
@@ -121,6 +121,10 @@ def solve_qp(
     backend: 'auto' routes small one-sided f32 problems with a single leading
     batch dim to the Pallas lane-batched megakernel on TPU; 'xla' forces the
     pure-XLA path; 'pallas' forces the kernel.
+    mirror: static row count k such that A[k:2k] == -A[:k] with finite ub on
+    both sides (the ± torque-limit pairs every WBC QP carries) — lets the
+    Pallas kernel skip storing/reducing the redundant -block.  The caller
+    guarantees the structure; it is not checked.
     """
     n = H.shape[-1]
     if backend != "xla" and _pallas_eligible(H, g, A, lb, ub, Aeq, backend):
@@ -166,7 +170,7 @@ def solve_qp(
                 lam0b = jnp.pad(lam0b, ((0, 0), (0, m_pad - m_)), constant_values=1.0)
         x, s, lam = pallas_qp_solve(
             Hb, gb, Cb, db, iters=iters, ridge=max(ridge, 1e-6),
-            x0=x0b, lam0=lam0b,
+            x0=x0b, lam0=lam0b, mirror=mirror,
         )
         x = x[..., :n].reshape(bshape + (n,))
         lam = lam[..., :m_].reshape(bshape + (m_,))
@@ -218,8 +222,11 @@ def solve_qp(
     w_cap = 1e8 if f32 else 1e12
     mu_tol = 5e-8 if f32 else 1e-13
 
-    def newton_step(x, s, lam, nu, sigma_mu):
-        """Solve the perturbed KKT system for (dx, ds, dlam[, dnu])."""
+    def factor_step(x, s, lam, nu):
+        """Everything the predictor and corrector share at a given iterate:
+        residuals, scaling w, the reduced-KKT Cholesky (and, with
+        equalities, the Schur complement factor).  Factor once per
+        iteration; the two Newton solves below are back-substitutions."""
         s_safe = jnp.maximum(s, s_floor)
         r_d = jnp.einsum("...ij,...j->...i", Hr, x) + g + jnp.einsum(
             "...ji,...j->...i", C, lam
@@ -227,21 +234,30 @@ def solve_qp(
         if Aeq is not None:
             r_d = r_d + jnp.einsum("...ji,...j->...i", Aeq, nu)
         r_p = jnp.einsum("...ij,...j->...i", C, x) + s - d
-        r_c = s * lam - sigma_mu
         w = jnp.clip(lam / s_safe, 0.0, w_cap)
         # reduced system: (H + Cᵀ diag(w) C) dx + Aeqᵀ dnu = -r_d - Cᵀ(w r_p - r_c/s)
         K = Hr + jnp.einsum("...ji,...j,...jk->...ik", C, w, C)
-        rhs = -r_d - jnp.einsum(
-            "...ji,...j->...i", C, w * r_p - r_c / s_safe
-        )
         L = _chol(K, unrolled)
         if Aeq is not None:
             r_e = jnp.einsum("...ij,...j->...i", Aeq, x) - beq
             Kinv_At = _cho_solve(L, jnp.swapaxes(Aeq, -1, -2), unrolled)
-            Kinv_rhs = _cho_solve(L, rhs, unrolled)
             S = Aeq @ Kinv_At + ridge * jnp.eye(p, dtype=dtype)
-            dnu = _psd_solve(
-                0.5 * (S + jnp.swapaxes(S, -1, -2)),
+            L_S = _chol(0.5 * (S + jnp.swapaxes(S, -1, -2)), unrolled)
+        else:
+            r_e = Kinv_At = L_S = None
+        return s_safe, r_d, r_p, w, L, r_e, Kinv_At, L_S
+
+    def newton_step(fac, s, lam, nu, sigma_mu):
+        """Back-solve the perturbed KKT system for (dx, ds, dlam[, dnu])."""
+        s_safe, r_d, r_p, w, L, r_e, Kinv_At, L_S = fac
+        r_c = s * lam - sigma_mu
+        rhs = -r_d - jnp.einsum(
+            "...ji,...j->...i", C, w * r_p - r_c / s_safe
+        )
+        if Aeq is not None:
+            Kinv_rhs = _cho_solve(L, rhs, unrolled)
+            dnu = _cho_solve(
+                L_S,
                 jnp.einsum("...ij,...j->...i", Aeq, Kinv_rhs) + r_e,
                 unrolled,
             )
@@ -264,8 +280,9 @@ def solve_qp(
         # too ill-conditioned to help — take a zero step (static shape, no
         # data-dependent control flow).
         live = (mu > mu_tol).astype(dtype)
+        fac = factor_step(x, s, lam, nu)
         # predictor (affine) step
-        dx_a, ds_a, dlam_a, dnu_a = newton_step(x, s, lam, nu, jnp.zeros_like(s))
+        dx_a, ds_a, dlam_a, dnu_a = newton_step(fac, s, lam, nu, jnp.zeros_like(s))
         a_p = alpha_max(s, ds_a)
         a_d = alpha_max(lam, dlam_a)
         mu_aff = jnp.sum(
@@ -274,7 +291,7 @@ def solve_qp(
         sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
         # corrector step with Mehrotra centering + second-order term
         target = (sigma * mu)[..., None] - ds_a * dlam_a
-        dx, ds, dlam, dnu = newton_step(x, s, lam, nu, target)
+        dx, ds, dlam, dnu = newton_step(fac, s, lam, nu, target)
         a_p = alpha_max(s, ds)
         a_d = alpha_max(lam, dlam)
         a = (live * jnp.minimum(a_p, a_d))[..., None]

@@ -23,16 +23,15 @@ def chol(A):
     column scale + rank-1 update — ideal for batched VPU execution.
     """
     n = A.shape[-1]
-    dtype = A.dtype
     S = A
     cols = []
-    idx = jnp.arange(n)
     for j in range(n):
-        d = jnp.sqrt(jnp.maximum(S[..., j, j], 1e-30))
-        col = S[..., :, j] / d[..., None]
-        col = jnp.where(idx >= j, col, jnp.zeros_like(col))
-        cols.append(col)
-        S = S - col[..., :, None] * col[..., None, :]
+        # right-looking on the shrinking trailing submatrix: total work
+        # n³/3 FMAs instead of n³ for a full-matrix rank-1 update
+        d = jnp.sqrt(jnp.maximum(S[..., 0, 0], 1e-30))
+        col = S[..., :, 0] / d[..., None]            # (..., n-j), col[0] = d
+        S = S[..., 1:, 1:] - col[..., 1:, None] * col[..., None, 1:]
+        cols.append(jnp.pad(col, [(0, 0)] * (col.ndim - 1) + [(j, 0)]))
     return jnp.stack(cols, axis=-1)
 
 

@@ -116,7 +116,10 @@ def solve_task_level_qp(
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
 
-    sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm)
+    # torque-limit rows come as a ± pair with finite bounds → let the
+    # Pallas kernel fold the mirrored block instead of storing it
+    sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm,
+                   mirror=m if torque_limit is not None else 0)
     return TaskQPResult(
         f_star_delta=sol.x[..., :t],
         contact_qp=sol.x[..., t:],
@@ -188,5 +191,6 @@ def solve_contact_redistribution_qp(
 
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
-    sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm)
+    sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm,
+                   mirror=m if torque_limit is not None else 0)
     return sol

@@ -75,6 +75,37 @@ def test_interpret_warm_start():
     assert err_w <= err_c + 1e-6
 
 
+def test_interpret_mirror_rows():
+    """mirror=k (C = [B; -B; D] torque-limit structure) must match the
+    unmirrored kernel exactly — same math, folded reductions."""
+    rng = np.random.default_rng(3)
+    B, n, k, extra = 8, 10, 7, 9
+    m = 2 * k + extra
+    H, g, _, _ = _random_one_sided(rng, B, n, m)
+    Bm = rng.standard_normal((B, k, n)).astype(np.float32)
+    D = rng.standard_normal((B, extra, n)).astype(np.float32)
+    C = np.concatenate([Bm, -Bm, D], axis=1)
+    x0 = rng.standard_normal((B, n))
+    d = (np.einsum("bmn,bn->bm", C, x0)
+         + rng.uniform(0.05, 2.0, (B, m))).astype(np.float32)
+    # exactness of the fold: in f64 the mirrored and unmirrored kernels
+    # follow the same central path to ~1e-12 (f32 trajectories diverge by
+    # rounding order, so the strict comparison must be f64)
+    args64 = (jnp.array(H, jnp.float64), jnp.array(g, jnp.float64),
+              jnp.array(C, jnp.float64), jnp.array(d, jnp.float64))
+    x_m64, _, _ = pallas_qp_solve(*args64, iters=15, interpret=True, mirror=k)
+    x_u64, _, _ = pallas_qp_solve(*args64, iters=15, interpret=True)
+    assert np.abs(np.asarray(x_m64) - np.asarray(x_u64)).max() < 1e-9
+    # f32 mirrored path still lands on the f64 reference solution
+    args = (jnp.array(H), jnp.array(g), jnp.array(C), jnp.array(d))
+    x_m, _, _ = pallas_qp_solve(*args, iters=15, interpret=True, mirror=k)
+    ref = solve_qp(
+        jnp.array(H, jnp.float64), jnp.array(g, jnp.float64),
+        jnp.array(C, jnp.float64), None, jnp.array(d, jnp.float64), iters=30,
+    )
+    assert np.abs(np.asarray(x_m) - np.asarray(ref.x)).max() < 5e-3
+
+
 def test_interpret_batch_padding():
     """Batch sizes that are not a multiple of the 1024-scenario tile."""
     rng = np.random.default_rng(1)
