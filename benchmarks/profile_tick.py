@@ -106,14 +106,20 @@ def main():
         float(jnp.sum(r))
         dt = time.perf_counter() - t0
         stages[name] = max(dt - rtt, 0.0) / K * 1e3
+        print(json.dumps({name: round(stages[name], 3)}), flush=True)
 
     # one QP of the in-tick shape on frozen random data
     from libdwbc_tpu.ops.pallas_qp import pallas_qp_solve
 
-    n, m = 12, 96
+    # in-tick shape: n=12 vars, 96 rows of which 33 are the folded ± torque
+    # pair (mirror) — the unmirrored 96-row kernel exceeds the 16M VMEM scope
+    n, mir, extra = 12, 33, 30
+    m = 2 * mir + extra
+    Bm = rng.standard_normal((B, mir, n)).astype(np.float32) * 0.3
+    D = rng.standard_normal((B, extra, n)).astype(np.float32) * 0.3
+    C = np.concatenate([Bm, -Bm, D], axis=1)
     H = np.tile(np.eye(n, dtype=np.float32), (B, 1, 1))
     g_ = rng.standard_normal((B, n)).astype(np.float32)
-    C = rng.standard_normal((B, m, n)).astype(np.float32) * 0.3
     d = np.abs(rng.standard_normal((B, m)).astype(np.float32)) + 0.5
 
     Hd, gd, Cd, dd = map(jax.device_put, (H, g_, C, d))
@@ -121,7 +127,7 @@ def main():
     @jax.jit
     def qp_chain(gg):
         def body(c, _):
-            x, s, lam = pallas_qp_solve(Hd, c, Cd, dd, iters=12)
+            x, s, lam = pallas_qp_solve(Hd, c, Cd, dd, iters=12, mirror=mir)
             return c + 1e-6 * jnp.tanh(x), ()
         c, _ = jax.lax.scan(body, gg, None, length=K)
         return c
@@ -132,7 +138,7 @@ def main():
     r = qp_chain(gd)
     float(jnp.sum(r))
     dt = time.perf_counter() - t0
-    stages["one_pallas_qp_12x96"] = max(dt - rtt, 0.0) / K * 1e3
+    stages["one_pallas_qp_12x96m33"] = max(dt - rtt, 0.0) / K * 1e3
 
     stages["qp_inferred"] = stages["full"] - stages["pre_qp"]
     print(json.dumps({k: round(v, 3) for k, v in stages.items()}))

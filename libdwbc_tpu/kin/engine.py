@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.compile import RobotModel
+from ..ops import smallmat as sm
 from .rotations import axis_angle_matrix, quat_to_matrix, skew
 
 
@@ -272,9 +273,14 @@ class Kinematics:
         J, Jcom = self.body_jacobians(fk)
         A = self.mass_matrix(fk, Jcom)
 
-        eye = jnp.broadcast_to(jnp.eye(self.ndof, dtype=dtype), A.shape)
-        L = jnp.linalg.cholesky(A)
-        A_inv = jax.scipy.linalg.cho_solve((L, True), eye)
+        # Unrolled Cholesky inverse: XLA's LAPACK-shaped batched cholesky /
+        # cho_solve are latency-bound on TPU at these sizes (≤48 dof).
+        if self.ndof <= 48:
+            A_inv = sm.psd_inverse(A)
+        else:
+            eye = jnp.broadcast_to(jnp.eye(self.ndof, dtype=dtype), A.shape)
+            L = jnp.linalg.cholesky(A)
+            A_inv = jax.scipy.linalg.cho_solve((L, True), eye)
 
         B = self.bias_forces(fk, w, v, Jcom)
 
@@ -298,7 +304,7 @@ class Kinematics:
             SI = jnp.zeros(q.shape[:-1] + (6, 6), dtype=dtype)
             SI = SI.at[..., 0:3, 0:3].set(jnp.eye(3, dtype=dtype) * M)
             SI = SI.at[..., 3:6, 3:6].set(com_inertia)
-            Jcom_total = jnp.linalg.solve(SI, CMM)
+            Jcom_total = sm.psd_solve(SI, CMM)  # SI is SPD block-diag
             grav = self._c("gravity", dtype)
             G = -jnp.einsum("...in,...i->...n", Jcom_total[..., 0:3, :], M * grav)
             com_vel6 = jnp.einsum("...in,...n->...i", Jcom_total, qdot)

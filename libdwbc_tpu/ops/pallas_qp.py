@@ -60,10 +60,14 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
         def chol(K):
             """Unrolled right-looking Cholesky on the lower triangle only
             (n³/6 lane-batched FMAs).  K: dict {(i, j): (8, 128) tile, i ≥ j}.
-            Returns cols with cols[j][i] = L[i, j] for i ≥ j; entries above
-            the diagonal are None (never read by cho_solve_vec)."""
+            Returns (cols, inv_diag) with cols[j][i] = L[i, j] for i ≥ j;
+            entries above the diagonal are None (never read by
+            cho_solve_vec).  inv_diag[j] = 1/L[j,j] is kept so the two
+            back-solves per Newton step multiply instead of divide (VPU
+            divides are multi-cycle; the reciprocal is already paid here)."""
             S = dict(K)
             cols = []
+            inv_diag = []
             for j in range(n):
                 dj = jnp.sqrt(jnp.maximum(S[(j, j)], 1e-30))
                 inv_d = 1.0 / dj
@@ -72,25 +76,26 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
                 for i in range(j + 1, n):
                     col[i] = S[(i, j)] * inv_d
                 cols.append(col)
+                inv_diag.append(inv_d)
                 for i in range(j + 1, n):
                     for k in range(j + 1, i + 1):
                         S[(i, k)] = S[(i, k)] - col[i] * col[k]
-            return cols
+            return cols, inv_diag
 
-        def cho_solve_vec(Lcols, b):
+        def cho_solve_vec(Lcols, inv_diag, b):
             """Solve L Lᵀ x = b with b (n, 8, 128); Lcols[j][i] = L[i,j]."""
             y = [None] * n
             for i in range(n):
                 acc = b[i]
                 for k in range(i):
                     acc = acc - Lcols[k][i] * y[k]
-                y[i] = acc / Lcols[i][i]
+                y[i] = acc * inv_diag[i]
             x = [None] * n
             for i in reversed(range(n)):
                 acc = y[i]
                 for k in range(i + 1, n):
                     acc = acc - Lcols[i][k] * x[k]
-                x[i] = acc / Lcols[i][i]
+                x[i] = acc * inv_diag[i]
             return jnp.stack(x, axis=0)
 
         def matvec_C(x):      # (m, 8, 128) = [B; -B; D] @ x
@@ -139,21 +144,24 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
 
         def factor(x, s, lam):
             """Predictor and corrector share (r_d, r_p, w, K, chol(K)) —
-            factor once per iteration, back-solve twice."""
+            factor once per iteration, back-solve twice.  1/s is computed
+            once here and multiplied everywhere downstream (5 division
+            sites per iteration collapse to this one)."""
             s_safe = jnp.maximum(s, s_floor)
+            inv_s = 1.0 / s_safe
             r_d = matvec_H(x) + g + matvec_CT(lam)
             r_p = matvec_C(x) + s - d
-            w = jnp.clip(lam / s_safe, 0.0, w_cap)
-            L = chol(gram(w))
-            return s_safe, r_d, r_p, w, L
+            w = jnp.clip(lam * inv_s, 0.0, w_cap)
+            L, inv_diag = chol(gram(w))
+            return inv_s, r_d, r_p, w, L, inv_diag
 
         def newton(fac, s, lam, sigma_mu):
-            s_safe, r_d, r_p, w, L = fac
+            inv_s, r_d, r_p, w, L, inv_diag = fac
             r_c = s * lam - sigma_mu
-            rhs = -r_d - matvec_CT(w * r_p - r_c / s_safe)
-            dx = cho_solve_vec(L, rhs)
+            rhs = -r_d - matvec_CT(w * r_p - r_c * inv_s)
+            dx = cho_solve_vec(L, inv_diag, rhs)
             ds = -(r_p + matvec_C(dx))
-            dlam = -(r_c + lam * ds) / s_safe
+            dlam = -(r_c + lam * ds) * inv_s
             return dx, ds, dlam
 
         def alpha_max(v, dv):
@@ -184,10 +192,18 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
             target = sigma * mu - ds_a * dlam_a
             dx, ds, dlam = newton(fac, s, lam, target)
             a = live * jnp.minimum(alpha_max(s, ds), alpha_max(lam, dlam))
-            dx = jnp.nan_to_num(dx)
-            ds = jnp.nan_to_num(ds)
-            dlam = jnp.nan_to_num(dlam)
-            return (x + a * dx, s + a * ds, lam + a * dlam)
+            # Non-finite guard: a NaN/Inf step leaves the iterate unchanged.
+            # Any overflow/NaN in the iteration surfaces in dx (the affine
+            # step feeds the corrector target, the Gram feeds cho_solve, and
+            # ds/dlam are affine images of dx) — one (8,128) detection tile
+            # replaces three full-vector nan_to_num passes.
+            ok = jnp.sum(dx * 0.0, axis=0) == 0.0
+            a = jnp.where(ok, a, 0.0)
+            return (
+                jnp.where(ok, x + a * dx, x),
+                jnp.where(ok, s + a * ds, s),
+                jnp.where(ok, lam + a * dlam, lam),
+            )
 
         x, s, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
         x_ref[:] = x

@@ -146,9 +146,12 @@ def solve_qp(
         db = jnp.broadcast_to(d_, bshape + (m_,)).reshape(B, m_).astype(jnp.float32)
         # Bucket (n, m) to fixed sizes so every QP in a pipeline shares ONE
         # Mosaic kernel compilation: padded variables get an identity
-        # Hessian block (solution 0), padded rows become 0·x ≤ 1.
+        # Hessian block (solution 0), padded rows become 0·x ≤ 1.  The row
+        # bucket is 8 (not 32): all in-tick QPs have the same row count
+        # anyway, and every dead row costs n Gram FMAs per (i,j) pair in
+        # every IPM iteration plus VMEM for its C rows.
         n_pad = max(12, -(-n // 4) * 4)
-        m_pad = -(-m_ // 32) * 32
+        m_pad = -(-m_ // 8) * 8
         if n_pad != n:
             eyep = jnp.zeros((B, n_pad, n_pad), jnp.float32)
             eyep = eyep.at[:, :n, :n].set(Hb)

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from ..kin.rotations import skew
+from ..ops import smallmat as sm
 from ..ops.linalg import pinv_psd, pinv_psd_fixed_rank
+
+# Above this size the unrolled straight-line kernels stop paying for their
+# compile time and lax.linalg wins (same threshold as ops/qp.py).
+_UNROLL_LIMIT = 48
 
 
 class ContactSpace(NamedTuple):
@@ -37,7 +42,13 @@ class ContactSpace(NamedTuple):
 
 
 def _psd_inv(M):
-    """Inverse of a symmetric positive definite matrix via Cholesky."""
+    """Inverse of a symmetric positive definite matrix via Cholesky.
+
+    Small sizes use the unrolled smallmat kernels: XLA's LAPACK-shaped
+    cholesky/triangular_solve are latency-bound on TPU for tiny batched
+    matrices (measured: they dominated the pre-QP tick wall-clock)."""
+    if M.shape[-1] <= _UNROLL_LIMIT:
+        return sm.psd_inverse(M)
     L = jnp.linalg.cholesky(M)
     eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
     Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
@@ -75,15 +86,19 @@ def contact_space(J_C, A_inv) -> ContactSpace:
     W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
 
     if c > 6:
-        # y-basis: left null space of J_C[:, :6]  (full QR of a c×6 block)
-        Qf, _ = jnp.linalg.qr(J_C[..., :, 0:6], mode="complete")  # (...,c,c)
-        Ny = Qf[..., :, 6:]                                       # (...,c,c-6)
+        # y-basis: left null space of J_C[:, :6].  Unrolled MGS-based basis
+        # completion instead of lax.linalg 'complete' QR (NwJw and W⁻¹ are
+        # invariant under orthogonal changes of the kernel basis, so any
+        # orthonormal basis gives bit-comparable downstream outputs).
+        Ny = sm.complete_basis(J_C[..., :, 0:6])[..., :, 6:]      # (...,c,c-6)
         V2T_raw = jnp.swapaxes(J_C[..., :, 6:], -1, -2) @ Ny      # (...,n-6,c-6)
-        V2T, _ = jnp.linalg.qr(V2T_raw)                           # orthonormal cols
+        V2T = sm.qr_thin(V2T_raw)                                 # orthonormal cols
         W_inv = _psd_inv(W + V2T @ jnp.swapaxes(V2T, -1, -2)) - V2T @ jnp.swapaxes(V2T, -1, -2)
         V2 = jnp.swapaxes(V2T, -1, -2)
         # NwJw = V2ᵀ (J̄_cᵀ[0:c-6, 6:] V2ᵀ)⁻¹   (src/wbd.cpp:128)
-        NwJw = V2T @ jnp.linalg.inv(J_C_INV_T[..., 0 : c - 6, 6:] @ V2T)
+        # (normal-equations inverse: the (c-6)×(c-6) system is tiny and
+        # well-conditioned; avoids a batched LAPACK getrf call)
+        NwJw = V2T @ sm.inv_via_normal(J_C_INV_T[..., 0 : c - 6, 6:] @ V2T)
     else:
         W_inv = _psd_inv(W)
         V2 = jnp.zeros(W.shape[:-2] + (0, n - 6), dtype=dtype)

@@ -43,6 +43,7 @@ import numpy as np
 
 from ..kin.engine import FK, Kinematics
 from ..model.compile import RobotModel
+from ..ops import smallmat as sm
 from . import dynamics as dyn
 from . import types as T
 from .dynamics import ContactSpace, _psd_inv
@@ -119,9 +120,9 @@ def masked_contact_space(J_C, A_inv, row_mask) -> ContactSpace:
     W = A_inv_N_C[..., 6:, 6:]
     W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
 
-    # kernel basis of W, padded width c_max-6
-    Qf, _ = jnp.linalg.qr(J_C[..., :, 0:6], mode="complete")   # (..., c, c)
-    Ny = Qf[..., :, 6:]                                         # (..., c, c-6)
+    # kernel basis of W, padded width c_max-6 (unrolled basis completion —
+    # same left-null span as 'complete' QR, see ops/smallmat.py)
+    Ny = sm.complete_basis(J_C[..., :, 0:6])[..., :, 6:]        # (..., c, c-6)
     V2T_raw = jnp.swapaxes(J_C[..., :, 6:], -1, -2) @ Ny        # (..., n-6, c-6)
     V2T = _orthonormalize_drop(V2T_raw)
     V2T, _ = _compact_columns(V2T)
@@ -142,7 +143,7 @@ def masked_contact_space(J_C, A_inv, row_mask) -> ContactSpace:
         inner = inner + jnp.einsum(
             "...i,ij->...ij", 1.0 - live, jnp.eye(cfree, dtype=dtype)
         )
-        NwJw = V2T @ jnp.linalg.inv(inner)
+        NwJw = V2T @ sm.inv_via_normal(inner)
         NwJw = NwJw * live[..., None, :]
     else:
         NwJw = jnp.zeros(W.shape[:-2] + (n - 6, 0), dtype=dtype)
