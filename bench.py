@@ -125,9 +125,11 @@ def main():
     solves_per_sec = B / per_tick
     assert np.isfinite(np.asarray(qq)).all(), "non-finite state after ticks"
 
-    single_lane_ms = None
-    if os.environ.get("DWBC_BENCH_SINGLE", "0") == "1":
-        single_lane_ms = _single_lane(jax, jnp, tick, model, q, qd, fstars, K, rtt)
+    single_lane = (None, None)
+    if os.environ.get("DWBC_BENCH_SINGLE", "1") == "1":
+        single_lane = _single_lane(
+            jax, jnp, tick, model, q, qd, fstars, rtt, WARM_ITERS
+        )
 
     print(
         json.dumps(
@@ -140,7 +142,8 @@ def main():
                 "chained_ticks": K,
                 "warm_iters": WARM_ITERS,
                 "host_device_rtt_ms": round(rtt * 1e3, 2),
-                "single_lane_ms_rtt_corrected": single_lane_ms,
+                "single_lane_ms_rtt_corrected": single_lane[0],
+                "single_lane_ms_p99": single_lane[1],
                 "qp_gap_max": float(np.asarray(diag[0]).max()),
                 "qp_primal_res_max": float(np.asarray(diag[1]).max()),
             }
@@ -148,20 +151,39 @@ def main():
     )
 
 
-def _single_lane(jax, jnp, tick, model, q, qd, fstars, K, rtt):
+def _single_lane(jax, jnp, tick, model, q, qd, fstars, rtt, warm_iters):
+    """Measured single-lane (batch-1) per-tick latency — the BASELINE.md
+    north-star "<1 ms p99 single-lane".  K ticks chained on device with the
+    warm-start serving shape (tick 0 full budget, warm ticks at warm_iters,
+    mirroring the batch path and the reference's persistent hot-start
+    qpOASES solvers).  The tunnel RTT is measured separately and removed;
+    K is large so per-tick RTT jitter divides down (~RTT_jitter/K).
+
+    Returns (p50_ms, p99_ms) per tick, RTT-corrected."""
     import numpy as np
     import time
 
+    K = 128
+
     @jax.jit
     def chained_single(q0, qd0, fstars_):
+        warm0 = tick.init_warm(())
+        res0, warm = tick._tick_impl(q0, qd0, fstars_, warm=warm0, qp_iters=12)
+        q1 = q0.at[6 : 6 + model.model_dof].add(
+            1e-6 * jnp.tanh(res0.torque_cmd)
+        )
+
         def body(carry, _):
-            qq, qqd = carry
-            res = tick._tick_impl(qq, qqd, fstars_)
+            qq, qqd, w = carry
+            res, w = tick._tick_impl(
+                qq, qqd, fstars_, warm=w, qp_iters=warm_iters
+            )
             qq = qq.at[6 : 6 + model.model_dof].add(
                 1e-6 * jnp.tanh(res.torque_cmd)
             )
-            return (qq, qqd), res.torque_cmd[0]
-        (qq, _), _ = jax.lax.scan(body, (q0, qd0), None, length=K)
+            return (qq, qqd, w), None
+
+        (qq, _, _), _ = jax.lax.scan(body, (q1, qd0, warm), None, length=K - 1)
         return qq
 
     sq = jax.device_put(q.astype(np.float32))
@@ -170,13 +192,16 @@ def _single_lane(jax, jnp, tick, model, q, qd, fstars, K, rtt):
     r = chained_single(sq, sqd, sfs)
     float(jnp.sum(r))
     lat = []
-    for _ in range(10):
+    for _ in range(20):
         t1 = time.perf_counter()
         r = chained_single(sq, sqd, sfs)
         float(jnp.sum(r))
         lat.append(time.perf_counter() - t1)
     lat_ms = (np.array(lat) * 1e3 - rtt * 1e3) / K  # per tick, RTT removed
-    return round(float(np.percentile(lat_ms, 50)), 3)
+    return (
+        round(float(np.percentile(lat_ms, 50)), 4),
+        round(float(np.percentile(lat_ms, 99)), 4),
+    )
 
 
 if __name__ == "__main__":

@@ -73,16 +73,31 @@ def run_one(urdf: str, repeats: int):
         rd.ReducedCalcContactRedistribute(True)
         return rd.torque_command()
 
-    tau_f = full()
-    tau_r = reduced()
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        tau_f = full()
-    t_full = (time.perf_counter() - t0) / repeats
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        tau_r = reduced()
-    t_red = (time.perf_counter() - t0) / repeats
+    def lqp():
+        rd.CalcContactConstraint()
+        rd.CalcGravCompensation()
+        rd.ConfigureLQP()
+        return rd.CalcControlTorqueLQP()
+
+    def lqp_r():
+        rd.ReducedDynamicsCalculate()
+        rd.ReducedCalcContactConstraint()
+        rd.ReducedCalcGravCompensation()
+        rd.ReducedCalcTaskSpace()
+        rd.ConfigureLQP_R()
+        return rd.CalcControlTorqueLQP_R()
+
+    def timed(fn):
+        tau = fn()  # compile/warm
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            tau = fn()
+        return tau, (time.perf_counter() - t0) / repeats
+
+    tau_f, t_full = timed(full)
+    tau_r, t_red = timed(reduced)
+    tau_l, t_lqp = timed(lqp)
+    tau_lr, t_lqp_r = timed(lqp_r)
 
     return dict(
         urdf=os.path.basename(urdf),
@@ -91,7 +106,13 @@ def run_one(urdf: str, repeats: int):
         t_full_ms=round(t_full * 1e3, 2),
         t_reduced_ms=round(t_red * 1e3, 2),
         ratio=round(t_red / t_full, 3),
-        torque_similarity=float(np.linalg.norm(tau_f - tau_r)),
+        torque_similarity=float(np.linalg.norm(np.asarray(tau_f) - np.asarray(tau_r))),
+        t_lqp_ms=round(t_lqp * 1e3, 2),
+        t_lqp_r_ms=round(t_lqp_r * 1e3, 2),
+        lqp_ratio=round(t_lqp_r / t_lqp, 3),
+        lqp_torque_similarity=float(
+            np.linalg.norm(np.asarray(tau_l) - np.asarray(tau_lr))
+        ),
     )
 
 
@@ -99,21 +120,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-r", "--repeats", type=int, default=3)
     ap.add_argument("--dofs", type=str, default="")
+    ap.add_argument("-o", "--out", type=str, default="",
+                    help="also write all rows to this JSON artifact")
     args = ap.parse_args()
 
     urdfs = sorted(glob.glob(os.path.join(DOF_DIR, "*.urdf")))
     if args.dofs:
         want = {d.strip() for d in args.dofs.split(",")}
-        urdfs = [u for u in urdfs if any(f"dof{d}" in u for d in want)]
+        urdfs = [u for u in urdfs if any(f"dof{d}.urdf" in u for d in want)]
     if not urdfs:
         print(json.dumps({"error": f"no URDFs found under {DOF_DIR}"}))
         return
 
+    rows = []
     for u in urdfs:
         try:
-            print(json.dumps(run_one(u, args.repeats)))
+            row = run_one(u, args.repeats)
         except Exception as e:  # noqa: BLE001 — sweep should report, not die
-            print(json.dumps({"urdf": os.path.basename(u), "error": str(e)}))
+            row = {"urdf": os.path.basename(u), "error": str(e)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"repeats": args.repeats, "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":

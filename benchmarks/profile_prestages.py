@@ -76,8 +76,9 @@ def main():
             st.A_inv, cs.W_inv, cs.N_C, cs.J_C_INV_T, st.G
         )
         out = tg
+        fk = tick._fk_from_state(st)
         for h in range(len(tick.cfg.task_specs)):
-            J_task = tick._task_jacobian(st, h)
+            J_task = tick._task_jacobian(st, fk, h)
             tf = dyn.task_jkt(J_task, st.A_inv, cs.N_C, cs.W_inv)
             out = out + (tf.J_kt @ tf.Lambda_task)[..., :, 0]
         return out

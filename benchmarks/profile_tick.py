@@ -61,14 +61,15 @@ def main():
 
     def pre_qp(qq, qqd):
         st = tick.kin.update(qq, qqd)
-        J_C = tick._contact_jacobian_from_state(st)
+        fk = tick._fk_from_state(st)
+        J_C = tick._contact_jacobian(fk)
         cs = dyn.contact_space(J_C, st.A_inv)
         tg, P_C = dyn.gravity_compensation(
             st.A_inv, cs.W_inv, cs.N_C, cs.J_C_INV_T, st.G
         )
         out = tg
         for h in range(len(tick.cfg.task_specs)):
-            J_task = tick._task_jacobian(st, h)
+            J_task = tick._task_jacobian(st, fk, h)
             tf = dyn.task_jkt(J_task, st.A_inv, cs.N_C, cs.W_inv)
             out = out + (tf.J_kt @ tf.Lambda_task)[..., :, 0]
         return out

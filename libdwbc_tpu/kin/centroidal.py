@@ -14,17 +14,27 @@ from ..kin.engine import KinState, Kinematics
 from ..kin.rotations import skew
 
 
-def angular_momentum_matrix(kin: Kinematics, st: KinState):
-    """Explicit 3×ndof angular-momentum matrix about the whole-body COM.
+def virtual_cmm(kin: Kinematics, st: KinState, body_mask=None, about=None):
+    """Angular-momentum matrix of an arbitrary body SUBSET about an
+    arbitrary point — the tpu-native ``CalcVirtualCMM``
+    (/root/reference/src/dwbc.cpp:1682-1709).  The reference builds a
+    throw-away RBDL "virtual model" from a link list; here the virtual
+    model is just a 0/1 body mask over the compiled model (no model
+    surgery, jit-safe, batched).
 
-    H(q)·q̇ = angular momentum about the COM (world frame).  Built from
-    per-body spatial inertias and jacobians; mathematically equal to the
-    bottom rows of st.CMM.
+    body_mask: (nbody,) 0/1 weights (None = all bodies, the full CMM);
+    about: (...,3) reference point (None = the whole-body COM).
+    Returns the 3×ndof matrix H with H·q̇ = angular momentum of the
+    selected bodies about ``about`` (world frame).
     """
     m = kin.model
     mass = jnp.asarray(m.mass, st.A.dtype)
+    if body_mask is not None:
+        mass = mass * jnp.asarray(body_mask, st.A.dtype)
     com_l = jnp.asarray(m.com, st.A.dtype)
     inertia_l = jnp.asarray(m.inertia, st.A.dtype)
+    if body_mask is not None:
+        inertia_l = inertia_l * jnp.asarray(body_mask, st.A.dtype)[:, None, None]
 
     R = st.R
     Jv = st.J[..., :, 0:3, :]
@@ -49,7 +59,19 @@ def angular_momentum_matrix(kin: Kinematics, st: KinState):
     )
     H_top = jnp.sum(top, axis=-3)
     H_bot = jnp.sum(bot, axis=-3)
-    return H_top - skew(st.com_pos) @ H_bot
+    ref = st.com_pos if about is None else jnp.asarray(about, st.A.dtype)
+    return H_top - skew(ref) @ H_bot
+
+
+def angular_momentum_matrix(kin: Kinematics, st: KinState):
+    """Explicit 3×ndof angular-momentum matrix about the whole-body COM
+    (``CalcAngularMomentumMatrix``, src/dwbc.cpp:1633-1680).
+
+    H(q)·q̇ = angular momentum about the COM (world frame).  Built from
+    per-body spatial inertias and jacobians; mathematically equal to the
+    bottom rows of st.CMM.
+    """
+    return virtual_cmm(kin, st)
 
 
 def momentum(st: KinState):

@@ -182,6 +182,10 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
         def body(_, carry):
             x, s, lam = carry
             mu = jnp.sum(s * lam, axis=0) / m
+            # freeze converged lanes on mu alone (see ops/qp.py body: a warm
+            # restart never arrives frozen — its init floors keep mu₀ well
+            # above mu_tol — and residual-based un-freeze gates degrade
+            # converged lanes)
             live = (mu > mu_tol).astype(H.dtype)
             fac = factor(x, s, lam)
             dx_a, ds_a, dlam_a = newton(fac, s, lam, jnp.zeros_like(s))
@@ -191,18 +195,28 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
             sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
             target = sigma * mu - ds_a * dlam_a
             dx, ds, dlam = newton(fac, s, lam, target)
-            a = live * jnp.minimum(alpha_max(s, ds), alpha_max(lam, dlam))
+            if warm:
+                # separate primal/dual step lengths (standard Mehrotra; see
+                # ops/qp.py) on warm solves only: fast feasibility
+                # restoration after a state change; cold solves keep the
+                # joint step (golden-validated trajectory)
+                a_pc = live * alpha_max(s, ds)
+                a_dc = live * alpha_max(lam, dlam)
+            else:
+                a_pc = live * jnp.minimum(alpha_max(s, ds), alpha_max(lam, dlam))
+                a_dc = a_pc
             # Non-finite guard: a NaN/Inf step leaves the iterate unchanged.
             # Any overflow/NaN in the iteration surfaces in dx (the affine
             # step feeds the corrector target, the Gram feeds cho_solve, and
             # ds/dlam are affine images of dx) — one (8,128) detection tile
-            # replaces three full-vector nan_to_num passes.
+            # replaces three full-vector nan_to_num passes.  MUST use a
+            # where-select (0·NaN = NaN, so a zero step length would still
+            # poison the iterate).
             ok = jnp.sum(dx * 0.0, axis=0) == 0.0
-            a = jnp.where(ok, a, 0.0)
             return (
-                jnp.where(ok, x + a * dx, x),
-                jnp.where(ok, s + a * ds, s),
-                jnp.where(ok, lam + a * dlam, lam),
+                jnp.where(ok, x + a_pc * dx, x),
+                jnp.where(ok, s + a_pc * ds, s),
+                jnp.where(ok, lam + a_dc * dlam, lam),
             )
 
         x, s, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))

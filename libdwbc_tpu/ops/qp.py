@@ -281,7 +281,12 @@ def solve_qp(
         mu = jnp.sum(s * lam, axis=-1) / m
         # Freeze converged lanes: once mu is tiny the scaled Newton system is
         # too ill-conditioned to help — take a zero step (static shape, no
-        # data-dependent control flow).
+        # data-dependent control flow).  A warm restart never arrives frozen:
+        # the warm-init floors keep mu₀ ≳ s_floor_w·d-scale ≫ mu_tol, so a
+        # state change always gets live iterations (verified: residual-based
+        # un-freeze gates were tried and DEGRADE converged lanes — stepping
+        # the ill-conditioned KKT at mu≈1e-14 loses ~5e-6 objective vs
+        # qpOASES on the stored golden QPs).
         live = (mu > mu_tol).astype(dtype)
         fac = factor_step(x, s, lam, nu)
         # predictor (affine) step
@@ -292,17 +297,33 @@ def solve_qp(
             (s + a_p[..., None] * ds_a) * (lam + a_d[..., None] * dlam_a), axis=-1
         ) / m
         sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
-        # corrector step with Mehrotra centering + second-order term
+        # corrector step with Mehrotra centering + second-order term.
         target = (sigma * mu)[..., None] - ds_a * dlam_a
         dx, ds, dlam, dnu = newton_step(fac, s, lam, nu, target)
-        a_p = alpha_max(s, ds)
-        a_d = alpha_max(lam, dlam)
-        a = (live * jnp.minimum(a_p, a_d))[..., None]
+        # sanitize BEFORE the step-length computation (a NaN in ds would
+        # otherwise propagate through alpha_max into the iterate)
         dx = jnp.nan_to_num(dx)
         ds = jnp.nan_to_num(ds)
         dlam = jnp.nan_to_num(dlam)
         dnu = jnp.nan_to_num(dnu)
-        return (x + a * dx, s + a * ds, lam + a * dlam, nu + a * dnu), None
+        if warm is not None:
+            # Separate primal/dual step lengths (standard Mehrotra) on WARM
+            # solves only: a warm start made infeasible by a state change
+            # must not have its primal feasibility restoration throttled by
+            # the dual boundary (measured: restores 0.34 primal violation in
+            # ≤7 iterations vs >12 with the joint step).  Cold solves keep
+            # the joint step so their trajectory — and their endpoint on a
+            # flat optimal face — remains exactly the golden-validated one.
+            a_p = (live * alpha_max(s, ds))[..., None]
+            a_d = (live * alpha_max(lam, dlam))[..., None]
+        else:
+            a_p = (live * jnp.minimum(alpha_max(s, ds), alpha_max(lam, dlam)))[
+                ..., None
+            ]
+            a_d = a_p
+        return (
+            x + a_p * dx, s + a_p * ds, lam + a_d * dlam, nu + a_d * dnu
+        ), None
 
     (x, s, lam, nu), _ = jax.lax.scan(body, (x0, s0, lam0, nu0), None, length=iters)
 
@@ -337,10 +358,23 @@ def solve_qp(
 
     pres_i, gap_i = metrics(x, lam)
     pres_p, gap_p = metrics(x_p, jnp.maximum(lam_p, 0.0))
+
+    def objective(xv):
+        return 0.5 * jnp.sum(
+            xv * jnp.einsum("...ij,...j->...i", Hr, xv), axis=-1
+        ) + jnp.sum(g * xv, axis=-1)
+
+    obj_i = objective(x)
+    obj_p = objective(x_p)
     ok = (
         jnp.isfinite(x_p).all(axis=-1)
         & (pres_p + gap_p <= pres_i + gap_i + 1e-9)
         & (lam_p.min(axis=-1) >= -1e-7)
+        # a feasible vertex with sign-correct multipliers can still be the
+        # WRONG vertex (one weakly-active row mis-classified): its pres and
+        # complementarity gap are both ≈0, so only the objective can reject
+        # it.  Accept polish only when it does not lose objective.
+        & (obj_p <= obj_i + 1e-9 * (1.0 + jnp.abs(obj_i)))
     )
     if f32:
         # the penalty-polish multipliers are too noisy at f32 to trust the

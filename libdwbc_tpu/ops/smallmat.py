@@ -88,20 +88,31 @@ def cho_solve(L, B):
     return solve_upper(jnp.swapaxes(L, -1, -2), solve_lower(L, B))
 
 
-def qr_thin(A):
+def qr_thin(A, drop_tol=None):
     """Thin QR of a tall matrix (..., m, k), k static & small, via modified
-    Gram-Schmidt (unrolled).  Returns Q (..., m, k) with orthonormal columns."""
+    Gram-Schmidt (unrolled).  Returns Q (..., m, k) with orthonormal columns.
+
+    With drop_tol set, a column whose residual shrinks below
+    drop_tol·‖original column‖ is ZEROED instead of normalized — otherwise
+    the normalized rounding residue is pure noise that would contaminate
+    every later column during orthogonalization (non-deterministically
+    across compilations)."""
     k = A.shape[-1]
     cols = []
     for j in range(k):
         v = A[..., :, j]
+        nrm0 = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
         for q in cols:
             v = v - jnp.sum(q * v, axis=-1, keepdims=True) * q
         # second MGS pass for orthogonality at f32
         for q in cols:
             v = v - jnp.sum(q * v, axis=-1, keepdims=True) * q
         nrm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
-        cols.append(v / nrm)
+        if drop_tol is None:
+            cols.append(v / nrm)
+        else:
+            keep = nrm > drop_tol * jnp.maximum(nrm0, 1e-30)
+            cols.append(jnp.where(keep, v / nrm, 0.0))
     return jnp.stack(cols, axis=-1)
 
 
@@ -140,6 +151,39 @@ def complete_basis(A):
     return jnp.concatenate(
         [jnp.stack(cols, axis=-1), jnp.stack(chosen, axis=-1)], axis=-1
     )
+
+
+def qr_inv(M):
+    """Inverse of a small square matrix via MGS QR: M⁻¹ = R⁻¹Qᵀ.
+
+    Same unrolled straight-line structure as the rest of this module but —
+    unlike ``inv_via_normal`` — does NOT square the condition number
+    (qr_thin runs a second MGS pass, so Q is orthonormal to working
+    precision even for moderately ill-conditioned inputs)."""
+    Q = qr_thin(M)
+    QT = jnp.swapaxes(Q, -1, -2)
+    R = QT @ M
+    return solve_upper(R, QT)
+
+
+def qr_pinv(M, rcond=1e-6):
+    """Thresholded pseudo-inverse of a small square matrix via MGS QR —
+    the unrolled TPU-native analog of the reference's rank-revealing COD
+    pinv with COD_THRESHOLD = 1e-6 (include/dwbc_math.h:13,
+    src/math.cpp:23-53).  Directions whose R pivot falls below
+    rcond·max|R_ii| are zeroed instead of inverted (rank truncation), so a
+    rank-deficient input (e.g. the NwJw inner system of an over-constrained
+    contact set) yields the minimum-norm solve, not garbage."""
+    n = M.shape[-1]
+    Q = qr_thin(M, drop_tol=1e-7)
+    QT = jnp.swapaxes(Q, -1, -2)
+    R = QT @ M
+    d = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
+    live = (d > rcond * jnp.max(d, axis=-1, keepdims=True))[..., :, None]
+    eye = jnp.eye(n, dtype=M.dtype)
+    R = jnp.where(live, R, eye)      # dead row j ← e_j (pivot 1, solves to 0)
+    B = jnp.where(live, QT, 0.0)     # dead directions output 0
+    return solve_upper(R, B)
 
 
 def inv_via_normal(M):

@@ -39,6 +39,21 @@ class ContactSpace(NamedTuple):
     W_inv: jnp.ndarray      # (n-6,n-6)
     V2: jnp.ndarray         # (c-6,n-6) orthonormal null rows of W
     NwJw: jnp.ndarray       # (n-6,c-6) contact-force redistribution directions
+    rank_health: jnp.ndarray  # () numeric rank indicator, ~[0,1]; tiny = degenerate
+
+
+def _chol_health(M):
+    """Relative smallest Cholesky pivot of a PSD Gram matrix: min(diag L) /
+    max(diag L) ≈ sqrt(λ_min/λ_max).  Batched, NaN-free on singular input
+    (the unrolled Cholesky clamps pivots at 1e-30)."""
+    if M.shape[-1] <= _UNROLL_LIMIT:
+        L = sm.chol(M)
+    else:
+        n = M.shape[-1]
+        L = jnp.linalg.cholesky(M + 1e-30 * jnp.eye(n, dtype=M.dtype))
+        L = jnp.nan_to_num(L)
+    d = jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
+    return jnp.min(d, axis=-1) / jnp.maximum(jnp.max(d, axis=-1), 1e-30)
 
 
 def _psd_inv(M):
@@ -78,7 +93,21 @@ def contact_space(J_C, A_inv) -> ContactSpace:
 
     JAinv = J_C @ A_inv                                  # (...,c,n)
     Mc = JAinv @ jnp.swapaxes(J_C, -1, -2)
-    Lambda_c = _psd_inv(0.5 * (Mc + jnp.swapaxes(Mc, -1, -2)))
+    Mc = 0.5 * (Mc + jnp.swapaxes(Mc, -1, -2))
+    # Rank-health diagnostics (the TPU-native replacement for the
+    # reference's COD rank check + "Contact Space Factorization Error"
+    # abort, src/wbd.cpp:126-136 / src/dwbc.cpp:3121-3131): a batched
+    # numeric indicator instead of a host-side abort.  Two failure modes:
+    # a singular contact Gram (dependent/duplicate contacts) and a
+    # rank-deficient J_C[:, :6] base block (the closed-form kernel basis
+    # below assumes rank 6).
+    health = jnp.minimum(
+        _chol_health(Mc),
+        _chol_health(
+            jnp.einsum("...ci,...cj->...ij", J_C[..., :, 0:6], J_C[..., :, 0:6])
+        ),
+    )
+    Lambda_c = _psd_inv(Mc)
     J_C_INV_T = Lambda_c @ JAinv
     N_C = jnp.eye(n, dtype=dtype) - jnp.swapaxes(J_C, -1, -2) @ J_C_INV_T
     A_inv_N_C = A_inv @ N_C
@@ -98,12 +127,14 @@ def contact_space(J_C, A_inv) -> ContactSpace:
         # NwJw = V2ᵀ (J̄_cᵀ[0:c-6, 6:] V2ᵀ)⁻¹   (src/wbd.cpp:128)
         # (normal-equations inverse: the (c-6)×(c-6) system is tiny and
         # well-conditioned; avoids a batched LAPACK getrf call)
-        NwJw = V2T @ sm.inv_via_normal(J_C_INV_T[..., 0 : c - 6, 6:] @ V2T)
+        NwJw = V2T @ sm.qr_pinv(J_C_INV_T[..., 0 : c - 6, 6:] @ V2T)
     else:
         W_inv = _psd_inv(W)
         V2 = jnp.zeros(W.shape[:-2] + (0, n - 6), dtype=dtype)
         NwJw = jnp.zeros(W.shape[:-2] + (n - 6, 0), dtype=dtype)
-    return ContactSpace(Lambda_c, J_C_INV_T, N_C, A_inv_N_C, W, W_inv, V2, NwJw)
+    return ContactSpace(
+        Lambda_c, J_C_INV_T, N_C, A_inv_N_C, W, W_inv, V2, NwJw, health
+    )
 
 
 def gravity_compensation(A_inv, W_inv, N_C, J_C_INV_T, G):
@@ -195,6 +226,80 @@ def force_const_matrix(mu, mu_z, dtype=jnp.float64):
     F = F.at[4, 5].set(1.0).at[4, 2].set(-mu_z)
     F = F.at[5, 5].set(-1.0).at[5, 2].set(-mu_z)
     return F
+
+
+# ---------------------------------------------------------------------------
+# Per-contact-type jacobian rows / constraint blocks / rotation blocks
+# (include/dwbc_contact_constraint.h:19-25, src/contact_constraint.cpp:9-116)
+#
+# The reference declares three contact types but only CONTACT_6D is fully
+# implemented there (CONTACT_LINE's Update is commented out,
+# contact_constraint.cpp:63-69; CONTACT_POINT's QP assembly writes 6-wide
+# blocks into 3-dof column ranges, dwbc.cpp:1030-1039).  We implement the
+# *declared* semantics correctly:
+#
+# * CONTACT_POINT (3 dof): position jacobian rows only; force-cone
+#   constraints only (|fx|,|fy| ≤ µ fz + two unilateral −µ_z fz ≤ · rows —
+#   the reference's 6-row cone block with the nonexistent mz column removed).
+# * CONTACT_LINE (5 dof, line along the local x axis with half-length lx):
+#   position rows (world frame) + moment rows about the local y and z axes
+#   (rotation rows pre-rotated into the contact frame; the local-x moment
+#   cannot be resisted by a zero-width line and is dropped).  Constraints:
+#   CoP along the line (±my ≤ lx·fz) + the 6 cone rows.
+# ---------------------------------------------------------------------------
+
+from . import types as _T
+
+
+def contact_jacobian_rows(J6, R, contact_type):
+    """Per-type contact jacobian rows from the 6-row pos-first point
+    jacobian J6 (…,6,n) and the contact body rotation R (…,3,3)."""
+    if contact_type == _T.CONTACT_6D:
+        return J6
+    if contact_type == _T.CONTACT_POINT:
+        return J6[..., 0:3, :]
+    if contact_type == _T.CONTACT_LINE:
+        Jrot_local = jnp.swapaxes(R, -1, -2) @ J6[..., 3:6, :]
+        return jnp.concatenate([J6[..., 0:3, :], Jrot_local[..., 1:3, :]], axis=-2)
+    raise ValueError(f"unknown contact type {contact_type}")
+
+
+def contact_constraint_block(contact_type, lx, ly, mu, mu_z, dtype=jnp.float64):
+    """(k, d) inequality block acting on the contact-local wrench:
+    6D → (10,6); POINT → (6,3); LINE → (8,5) over [fx fy fz my mz]."""
+    Z = zmp_const_matrix(lx, ly, dtype=dtype)
+    F = force_const_matrix(mu, mu_z, dtype=dtype)
+    if contact_type == _T.CONTACT_6D:
+        return jnp.concatenate([Z, F], axis=0)
+    if contact_type == _T.CONTACT_POINT:
+        return F[:, 0:3]
+    if contact_type == _T.CONTACT_LINE:
+        cols = jnp.array([0, 1, 2, 4, 5])
+        return jnp.concatenate([Z[0:2][:, cols], F[:, cols]], axis=0)
+    raise ValueError(f"unknown contact type {contact_type}")
+
+
+def contact_rotation_block(contact_type, R):
+    """(…, d, d) world→contact-local rotation for the per-type wrench:
+    6D → Rᵀ⊕Rᵀ; POINT → Rᵀ; LINE → Rᵀ⊕I₂ (line moment rows are already
+    expressed in the contact frame by contact_jacobian_rows)."""
+    RT = jnp.swapaxes(R, -1, -2)
+    batch = R.shape[:-2]
+    dtype = R.dtype
+    if contact_type == _T.CONTACT_6D:
+        out = jnp.zeros(batch + (6, 6), dtype=dtype)
+        out = out.at[..., 0:3, 0:3].set(RT)
+        out = out.at[..., 3:6, 3:6].set(RT)
+        return out
+    if contact_type == _T.CONTACT_POINT:
+        return RT
+    if contact_type == _T.CONTACT_LINE:
+        out = jnp.zeros(batch + (5, 5), dtype=dtype)
+        out = out.at[..., 0:3, 0:3].set(RT)
+        out = out.at[..., 3, 3].set(1.0)
+        out = out.at[..., 4, 4].set(1.0)
+        return out
+    raise ValueError(f"unknown contact type {contact_type}")
 
 
 # ---------------------------------------------------------------------------

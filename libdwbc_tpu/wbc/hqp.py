@@ -24,30 +24,32 @@ from ..ops.qp import solve_qp
 _INF = 1.0e30
 
 
-def contact_constraint_blocks(const_mats, rotms):
+def contact_constraint_blocks(const_mats, rot_blocks):
     """Stack per-contact constraint blocks into (n_const, total_cdof) and the
     block-diagonal world→contact rotation (total_cdof, total_cdof).
 
-    const_mats: list of (k_i, 6) static blocks (ZMP rows + cone rows);
-    rotms: (..., n_contact, 3, 3) contact body rotations (body→world).
+    const_mats: list of (k_i, d_i) static blocks (per-type ZMP/cone rows,
+    dynamics.contact_constraint_block); rot_blocks: list of (..., d_i, d_i)
+    per-type rotations (dynamics.contact_rotation_block).  Column widths d_i
+    follow each contact's dof (6/3/5 for 6D/point/line).
     Mirrors the A_const_a / A_rot assembly at src/dwbc.cpp:1018-1039.
     """
-    n_c = len(const_mats)
     k_tot = sum(m.shape[0] for m in const_mats)
-    batch = rotms.shape[:-3]
-    dtype = rotms.dtype
+    d_tot = sum(m.shape[1] for m in const_mats)
+    batch = jnp.broadcast_shapes(*(rb.shape[:-2] for rb in rot_blocks))
+    dtype = rot_blocks[0].dtype
 
-    A_const = jnp.zeros((k_tot, 6 * n_c), dtype=dtype)
-    r = 0
-    for i, m in enumerate(const_mats):
-        A_const = A_const.at[r : r + m.shape[0], 6 * i : 6 * i + 6].set(m)
-        r += m.shape[0]
-
-    A_rot = jnp.zeros(batch + (6 * n_c, 6 * n_c), dtype=dtype)
-    for i in range(n_c):
-        RT = jnp.swapaxes(rotms[..., i, :, :], -1, -2)
-        A_rot = A_rot.at[..., 6 * i : 6 * i + 3, 6 * i : 6 * i + 3].set(RT)
-        A_rot = A_rot.at[..., 6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6].set(RT)
+    A_const = jnp.zeros((k_tot, d_tot), dtype=dtype)
+    A_rot = jnp.zeros(batch + (d_tot, d_tot), dtype=dtype)
+    r = c = 0
+    for m, rb in zip(const_mats, rot_blocks):
+        k_i, d_i = m.shape
+        A_const = A_const.at[r : r + k_i, c : c + d_i].set(m)
+        A_rot = A_rot.at[..., c : c + d_i, c : c + d_i].set(
+            jnp.broadcast_to(rb, batch + (d_i, d_i))
+        )
+        r += k_i
+        c += d_i
     return A_const, A_rot
 
 
@@ -82,6 +84,17 @@ def solve_task_level_qp(
     dtype = Ntorque_task.dtype
     nv = t + cfree
 
+    # objective: ½‖δf*‖², f_c block of H at ZERO — exactly the reference's
+    # (src/dwbc.cpp:988-991).  NOTE the zero block means that on a
+    # degenerate contact set (rank-deficient redistribution space — e.g.
+    # hands+feet point contacts) the f_c optimum is a whole FACE, and any
+    # two solver inits/formulations land on different points of it (qpOASES
+    # hot-vs-cold included).  An ε‖f_c‖² selection term was tried and
+    # REJECTED: it measurably trades δf* optimality (the ½‖δf*‖² objective
+    # grew 1e-5 relative, breaking the ≥-qpOASES optimality guarantee in
+    # tests/test_golden_parity.py) for face determinism.  Cross-formulation
+    # tests instead assert τ components by how well they're determined (see
+    # CLAUDE.md "Flat-face torques").
     H = jnp.zeros((nv, nv), dtype=dtype)
     H = H.at[jnp.arange(t), jnp.arange(t)].set(1.0)
     g = jnp.zeros(nv, dtype=dtype)

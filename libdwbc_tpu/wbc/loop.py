@@ -30,6 +30,21 @@ class LoopResult(NamedTuple):
     qp_primal_res: jnp.ndarray  # (K, ...)
 
 
+def _advance_servos(servos, tk):
+    """Shift every ServoParams clock by tk (the on-device analog of the
+    reference's control_time_ advancing between UpdateTaskSpace calls,
+    src/dwbc.cpp:685-793).  servos is the nested per-level/per-link tuple
+    accepted by CompiledTick; None entries pass through."""
+    if servos is None:
+        return None
+    return tuple(
+        None
+        if lvl is None
+        else tuple(None if sp is None else sp._replace(t=sp.t + tk) for sp in lvl)
+        for lvl in servos
+    )
+
+
 def default_transition(model):
     """Semi-implicit integration of the commanded accelerations under the
     no-contact-motion assumption: q̇ ← q̇ (held), q ← q (held). A pure hold —
@@ -98,6 +113,7 @@ def make_control_loop(
     dt: float = 0.001,
     warm_start: bool = False,
     warm_iters: int | None = None,
+    gap_fallback: float | None = None,
 ):
     """Build a jitted K-tick on-device loop.
 
@@ -107,6 +123,13 @@ def make_control_loop(
     analog of the reference's persistent qpOASES hot-start solvers,
     include/dwbc.h:222-228): tick 0 runs at the full iteration budget, the
     remaining K−1 ticks at ``warm_iters`` (default: half the budget).
+
+    gap_fallback (warm loops only): per-tick safety net mirroring qpOASES's
+    hot-start-failure → cold re-init at 10× iterations
+    (src/qp_wrapper.cpp:298-339): when a warm tick's worst complementarity
+    gap exceeds the threshold, the tick is re-solved from the warm point at
+    the full iteration budget (a lax.cond — the refine branch costs nothing
+    when not taken).
     """
     trans = transition or default_transition(tick.model)
 
@@ -114,23 +137,36 @@ def make_control_loop(
         w_iters = warm_iters or max(tick.cfg.qp_iters // 2, 4)
 
         @jax.jit
-        def loop(q0, qdot0, fstars):
+        def loop(q0, qdot0, fstars, servos=None):
             warm0 = tick.init_warm(q0.shape[:-1])
             res0, warm = tick._tick_impl(
-                q0, qdot0, fstars, warm=warm0, qp_iters=tick.cfg.qp_iters
+                q0, qdot0, fstars, warm=warm0, qp_iters=tick.cfg.qp_iters,
+                servos=servos,
             )
             q, qdot = trans(q0, qdot0, res0, dt)
 
-            def body(carry, _):
+            def body(carry, k):
                 q, qdot, warm = carry
+                sv = _advance_servos(servos, k * dt)
                 res, warm = tick._tick_impl(
-                    q, qdot, fstars, warm=warm, qp_iters=w_iters
+                    q, qdot, fstars, warm=warm, qp_iters=w_iters, servos=sv
                 )
+                if gap_fallback is not None:
+                    res, warm = jax.lax.cond(
+                        jnp.maximum(
+                            jnp.max(res.qp_gap), jnp.max(res.qp_primal_res)
+                        ) > gap_fallback,
+                        lambda: tick._tick_impl(
+                            q, qdot, fstars, warm=warm,
+                            qp_iters=tick.cfg.qp_iters, servos=sv,
+                        ),
+                        lambda: (res, warm),
+                    )
                 q, qdot = trans(q, qdot, res, dt)
                 return (q, qdot, warm), (res.torque_cmd, res.qp_primal_res)
 
             (q, qdot, _), (torques, pres) = jax.lax.scan(
-                body, (q, qdot, warm), None, length=K - 1
+                body, (q, qdot, warm), 1.0 + jnp.arange(K - 1, dtype=tick.dtype)
             )
             torques = jnp.concatenate([res0.torque_cmd[None], torques], axis=0)
             pres = jnp.concatenate([res0.qp_primal_res[None], pres], axis=0)
@@ -140,15 +176,17 @@ def make_control_loop(
         return loop
 
     @jax.jit
-    def loop(q0, qdot0, fstars):
-        def body(carry, _):
+    def loop(q0, qdot0, fstars, servos=None):
+        def body(carry, k):
             q, qdot = carry
-            res = tick._tick_impl(q, qdot, fstars)
+            res = tick._tick_impl(
+                q, qdot, fstars, servos=_advance_servos(servos, k * dt)
+            )
             q, qdot = trans(q, qdot, res, dt)
             return (q, qdot), (res.torque_cmd, res.qp_primal_res)
 
         (q, qdot), (torques, pres) = jax.lax.scan(
-            body, (q0, qdot0), None, length=K
+            body, (q0, qdot0), jnp.arange(K, dtype=tick.dtype)
         )
         return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
                           qp_primal_res=pres)

@@ -112,6 +112,14 @@ def masked_contact_space(J_C, A_inv, row_mask) -> ContactSpace:
     Mc = 0.5 * (Mc + jnp.swapaxes(Mc, -1, -2))
     # +1 on inactive diagonal → active block inverts exactly
     Mc = Mc + jnp.einsum("...i,ij->...ij", 1.0 - rmask, jnp.eye(c, dtype=dtype))
+    # rank-health indicator (see dynamics.contact_space): inactive rows
+    # contribute unit pivots, so only the active block drives the minimum
+    health = jnp.minimum(
+        dyn._chol_health(Mc),
+        dyn._chol_health(
+            jnp.einsum("...ci,...cj->...ij", J_C[..., :, 0:6], J_C[..., :, 0:6])
+        ),
+    )
     Lambda_c = _psd_inv(Mc)
     Lambda_c = Lambda_c * rmask[..., :, None] * rmask[..., None, :]
     J_C_INV_T = Lambda_c @ JAinv
@@ -143,11 +151,13 @@ def masked_contact_space(J_C, A_inv, row_mask) -> ContactSpace:
         inner = inner + jnp.einsum(
             "...i,ij->...ij", 1.0 - live, jnp.eye(cfree, dtype=dtype)
         )
-        NwJw = V2T @ sm.inv_via_normal(inner)
+        NwJw = V2T @ sm.qr_pinv(inner)
         NwJw = NwJw * live[..., None, :]
     else:
         NwJw = jnp.zeros(W.shape[:-2] + (n - 6, 0), dtype=dtype)
-    return ContactSpace(Lambda_c, J_C_INV_T, N_C, A_inv_N_C, W, W_inv, V2, NwJw)
+    return ContactSpace(
+        Lambda_c, J_C_INV_T, N_C, A_inv_N_C, W, W_inv, V2, NwJw, health
+    )
 
 
 class MaskedTick:
@@ -163,11 +173,29 @@ class MaskedTick:
         self.cfg = cfg
         self.kin = Kinematics(model)
         self.dtype = dtype
-        if any(c.contact_type != T.CONTACT_6D for c in cfg.contacts):
-            raise NotImplementedError("masked tick: 6D candidate contacts only")
         self._tick = jax.jit(self._tick_impl)
 
-    # static per-candidate constraint blocks
+    # Static per-type masks over the 6-padded layouts.  Non-6D contacts are
+    # 6D contacts with rows statically masked (the TPU-native form of the
+    # reference's per-type contact_dof_, contact_constraint.cpp:19-45):
+    # POINT keeps the 3 position rows; LINE keeps position + the contact-
+    # frame my/mz rows (local-x moment dropped — zero-width line).
+    _ROW_MASK = {
+        T.CONTACT_6D: np.ones(6),
+        T.CONTACT_POINT: np.array([1.0, 1, 1, 0, 0, 0]),
+        T.CONTACT_LINE: np.array([1.0, 1, 1, 0, 1, 1]),
+    }
+    # constraint rows of the padded [ZMP(4); cone(6)] block that exist for
+    # the type: POINT has no CoP rows; LINE keeps only the ±my (lx) pair.
+    _CROW_MASK = {
+        T.CONTACT_6D: np.ones(10),
+        T.CONTACT_POINT: np.array([0.0, 0, 0, 0, 1, 1, 1, 1, 1, 1]),
+        T.CONTACT_LINE: np.array([1.0, 1, 0, 0, 1, 1, 1, 1, 1, 1]),
+    }
+
+    # static per-candidate constraint blocks (padded (10,6) for every type;
+    # dead rows are masked via _CROW_MASK, dead wrench components are zero
+    # because their jacobian rows are masked)
     def _const_mats(self):
         out = []
         for c in self.cfg.contacts:
@@ -194,15 +222,26 @@ class MaskedTick:
         cmask = contact_mask.astype(self.dtype)            # (..., nc)
         batch = jnp.broadcast_shapes(q.shape[:-1], contact_mask.shape[:-1])
 
-        # padded contact jacobian + row mask
+        # padded contact jacobian + row mask (dynamic active mask × static
+        # per-type row mask; LINE moment rows pre-rotated into the contact
+        # frame so the masked row is the local-x moment)
         Js = []
         for c in cfg.contacts:
             J = self.kin.frame_point_jacobian(
                 fk, c.link, jnp.asarray(c.contact_point, self.dtype)
             )
+            if c.contact_type == T.CONTACT_LINE:
+                RT = jnp.swapaxes(st.R[..., c.link, :, :], -1, -2)
+                J = jnp.concatenate(
+                    [J[..., 0:3, :], RT @ J[..., 3:6, :]], axis=-2
+                )
             Js.append(J)
         J_C = jnp.concatenate(Js, axis=-2)                 # (..., 6nc, n)
-        row_mask = jnp.repeat(cmask, 6, axis=-1)           # (..., 6nc)
+        type_mask = jnp.asarray(
+            np.concatenate([self._ROW_MASK[c.contact_type] for c in cfg.contacts]),
+            self.dtype,
+        )
+        row_mask = jnp.repeat(cmask, 6, axis=-1) * type_mask  # (..., 6nc)
         J_C = J_C * row_mask[..., :, None]
 
         cs = masked_contact_space(J_C, st.A_inv, row_mask)
@@ -219,16 +258,22 @@ class MaskedTick:
             A_const = A_const.at[r : r + cm.shape[0], 6 * i : 6 * i + 6].set(cm)
             r += cm.shape[0]
         A_rot = jnp.zeros(batch + (6 * nc, 6 * nc), dtype=self.dtype)
+        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), batch + (3, 3))
         for i, c in enumerate(cfg.contacts):
             RT = jnp.swapaxes(st.R[..., c.link, :, :], -1, -2)
             RT = jnp.broadcast_to(RT, batch + (3, 3))
             A_rot = A_rot.at[..., 6 * i : 6 * i + 3, 6 * i : 6 * i + 3].set(RT)
-            A_rot = A_rot.at[..., 6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6].set(RT)
-        # per-constraint-row activity mask (k_tot,)
+            # LINE moment rows are already contact-local (see jacobian
+            # assembly above) → identity; 6D/POINT rotate world→local
+            Rm = eye3 if c.contact_type == T.CONTACT_LINE else RT
+            A_rot = A_rot.at[..., 6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6].set(Rm)
+        # per-constraint-row activity mask (k_tot,) = dynamic contact mask ×
+        # static per-type constraint-row mask
         crow_mask = jnp.concatenate(
             [
                 jnp.broadcast_to(cmask[..., i : i + 1], batch + (consts[i].shape[0],))
-                for i in range(nc)
+                * jnp.asarray(self._CROW_MASK[c.contact_type], self.dtype)
+                for i, c in enumerate(cfg.contacts)
             ],
             axis=-1,
         )
@@ -252,7 +297,7 @@ class MaskedTick:
 
         prev_null = eye_m
         for h in range(len(cfg.task_specs)):
-            J_task = self._task_jacobian(st, h)
+            J_task = self._task_jacobian(st, fk, h)
             tf = dyn.task_jkt(J_task, st.A_inv, cs.N_C, cs.W_inv)
             fstar = fstars[h]
             if cfg.use_hqp:
@@ -307,22 +352,31 @@ class MaskedTick:
             contact_force=cforce,
             qp_gap=gap,
             qp_primal_res=pres,
+            contact_rank_health=cs.rank_health,
         )
 
-    def _task_jacobian(self, st, level: int):
+    def _task_jacobian(self, st, fk, level: int):
+        from .pipeline import _parse_task_spec, _POS_MODES, _SIX_MODES
+
         rows = []
-        for mode, link in self.cfg.task_specs[level]:
+        for spec in self.cfg.task_specs[level]:
+            mode, link, point = _parse_task_spec(spec)
             if link == self.model.nbody:
                 J6 = st.Jcom_total
             elif mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
                 J6 = st.Jcom[..., link, :, :]
+            elif point is not None and mode in (
+                T.TASK_LINK_6D_CUSTOM_FRAME,
+                T.TASK_LINK_POSITION_CUSTOM_FRAME,
+            ):
+                J6 = self.kin.frame_point_jacobian(
+                    fk, link, jnp.asarray(point, self.dtype)
+                )
             else:
                 J6 = st.J[..., link, :, :]
-            if mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
-                        T.TASK_LINK_6D_CUSTOM_FRAME):
+            if mode in _SIX_MODES:
                 rows.append(J6)
-            elif mode in (T.TASK_LINK_POSITION, T.TASK_LINK_POSITION_COM_FRAME,
-                          T.TASK_LINK_POSITION_CUSTOM_FRAME):
+            elif mode in _POS_MODES:
                 rows.append(J6[..., 0:3, :])
             else:
                 rows.append(J6[..., 3:6, :])

@@ -44,12 +44,154 @@ class TickResult(NamedTuple):
     contact_force: jnp.ndarray    # observed contact wrench under torque_cmd
     qp_gap: jnp.ndarray           # worst complementarity gap across QPs
     qp_primal_res: jnp.ndarray    # worst primal violation across QPs
+    contact_rank_health: jnp.ndarray  # contact-space rank indicator (tiny = degenerate)
+
+
+class ServoParams(NamedTuple):
+    """On-device trajectory + PD servo parameters for ONE task link — the
+    fused equivalent of ``TaskLink::SetTrajectoryQuintic/SetTrajectoryRotation``
+    + ``GetFstarPosPD``/``GetFstarRotPD`` (src/task.cpp:223-339) and the f*
+    dispatch in ``UpdateTaskSpace`` (src/dwbc.cpp:685-793).  All fields are
+    dynamic (jit inputs) and broadcast over leading batch dims, so a batch
+    of scenarios can each track a different trajectory/clock.
+
+    use_pos/use_rot mirror traj_pos_set/traj_rot_set: 1.0 replaces that half
+    of the provided f* with the servo output, 0.0 keeps the caller's f*.
+    max_*_err implement ``SetPDerrorRegulation`` (src/task.cpp:341-346 —
+    declared in the reference but never applied there; here the p/d errors
+    are clamped to ±max before the gains, the evident intent).
+    """
+
+    t: jnp.ndarray          # current control time
+    t0: jnp.ndarray
+    tf: jnp.ndarray
+    pos_init: jnp.ndarray   # (...,3)
+    vel_init: jnp.ndarray
+    pos_des: jnp.ndarray
+    vel_des: jnp.ndarray
+    rot_init: jnp.ndarray   # (...,3,3)
+    w_init: jnp.ndarray     # (...,3)
+    rot_des: jnp.ndarray
+    w_des: jnp.ndarray
+    pos_p: jnp.ndarray      # (...,3) gains
+    pos_d: jnp.ndarray
+    pos_a: jnp.ndarray
+    rot_p: jnp.ndarray
+    rot_d: jnp.ndarray
+    max_p_err: jnp.ndarray  # (...,6) [pos(3); rot(3)] clamp, +inf = off
+    max_d_err: jnp.ndarray
+    use_pos: jnp.ndarray    # () 1.0/0.0
+    use_rot: jnp.ndarray
+
+
+def make_servo(
+    pos_init=None, pos_des=None, vel_init=None, vel_des=None,
+    rot_init=None, rot_des=None, w_init=None, w_des=None,
+    t=0.0, t0=0.0, tf=1.0,
+    pos_p=400.0, pos_d=40.0, pos_a=1.0, rot_p=400.0, rot_d=40.0,
+    max_p_err=None, max_d_err=None, dtype=jnp.float32,
+) -> ServoParams:
+    """Convenience constructor with the reference demos' gain defaults.
+    Scalars broadcast; omitted position/rotation halves disable that servo."""
+    f = lambda v, shape: jnp.broadcast_to(jnp.asarray(v, dtype), shape)
+    use_pos = pos_des is not None
+    use_rot = rot_des is not None
+    z3 = jnp.zeros(3, dtype)
+    eye = jnp.eye(3, dtype=dtype)
+    return ServoParams(
+        t=jnp.asarray(t, dtype), t0=jnp.asarray(t0, dtype), tf=jnp.asarray(tf, dtype),
+        pos_init=f(pos_init if pos_init is not None else 0.0, jnp.shape(pos_init) or (3,)) if use_pos else z3,
+        vel_init=f(vel_init if vel_init is not None else 0.0, (3,)),
+        pos_des=f(pos_des, jnp.shape(pos_des) or (3,)) if use_pos else z3,
+        vel_des=f(vel_des if vel_des is not None else 0.0, (3,)),
+        rot_init=jnp.asarray(rot_init, dtype) if rot_init is not None else eye,
+        w_init=f(w_init if w_init is not None else 0.0, (3,)),
+        rot_des=jnp.asarray(rot_des, dtype) if rot_des is not None else eye,
+        w_des=f(w_des if w_des is not None else 0.0, (3,)),
+        pos_p=f(pos_p, (3,)), pos_d=f(pos_d, (3,)), pos_a=f(pos_a, (3,)),
+        rot_p=f(rot_p, (3,)), rot_d=f(rot_d, (3,)),
+        max_p_err=f(max_p_err if max_p_err is not None else jnp.inf, (6,)),
+        max_d_err=f(max_d_err if max_d_err is not None else jnp.inf, (6,)),
+        use_pos=jnp.asarray(1.0 if use_pos else 0.0, dtype),
+        use_rot=jnp.asarray(1.0 if use_rot else 0.0, dtype),
+    )
+
+
+def _clamp(x, lim):
+    """±lim symmetric clamp (``SetPDerrorRegulation``, src/task.cpp:341-346);
+    lim = +inf disables."""
+    return jnp.clip(x, -lim, lim)
+
+
+def servo_fstar(sp: ServoParams, pos, vel, rot, w):
+    """Evaluate the trajectory + PD servo for one task link at its current
+    state, returning the 6-row [f*_pos; f*_rot].
+
+    On-device equivalent of ``GetFstarPosPD``/``GetFstarRotPD``
+    (src/task.cpp:268-339): quintic position spline + slerp rotation
+    trajectory, PD on the (clamped) errors, acceleration feedforward on the
+    position half.  Broadcasts over leading batch dims including a batched
+    clock sp.t."""
+    from ..kin.rotations import (
+        get_phi, matrix_to_quat, quat_slerp, quat_to_matrix, rotation_log,
+    )
+    from ..utils.traj import quintic_spline
+
+    t = jnp.asarray(sp.t)[..., None]
+    t0 = jnp.asarray(sp.t0)[..., None]
+    tf = jnp.asarray(sp.tf)[..., None]
+    z = jnp.zeros_like(sp.pos_init)
+    pos_traj, vel_traj, acc_traj = quintic_spline(
+        t, t0, tf, sp.pos_init, sp.vel_init, z, sp.pos_des, sp.vel_des, z
+    )
+    p_err = _clamp(pos_traj - pos, sp.max_p_err[..., 0:3])
+    d_err = _clamp(vel_traj - vel, sp.max_d_err[..., 0:3])
+    f_pos = sp.pos_a * acc_traj + sp.pos_p * p_err + sp.pos_d * d_err
+
+    # rotation: slerp with quintic time scaling (src/task.cpp:296-339)
+    s, sd, _ = quintic_spline(
+        jnp.asarray(sp.t), jnp.asarray(sp.t0), jnp.asarray(sp.tf),
+        0.0, 0.0, 0.0, 1.0, 0.0, 0.0,
+    )
+    q0 = matrix_to_quat(sp.rot_init)
+    qf = matrix_to_quat(sp.rot_des)
+    rot_traj = quat_to_matrix(quat_slerp(q0, qf, s))
+    aa = rotation_log(sp.rot_des @ jnp.swapaxes(sp.rot_init, -1, -2))
+    # during the blend the feedforward is the slerp rate; once the spline
+    # completes (s=1, sd=0) it hands off to the terminal w_des
+    w_traj = aa * jnp.asarray(sd)[..., None] + jnp.where(
+        jnp.asarray(s)[..., None] >= 1.0, sp.w_des, 0.0
+    )
+    r_err = _clamp(get_phi(rot, rot_traj), sp.max_p_err[..., 3:6])
+    wd_err = _clamp(w_traj - w, sp.max_d_err[..., 3:6])
+    f_rot = sp.rot_p * r_err + sp.rot_d * wd_err
+    return jnp.concatenate(
+        jnp.broadcast_arrays(f_pos, f_rot), axis=-1
+    )
+
+
+_SIX_MODES = (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_6D_CUSTOM_FRAME)
+_POS_MODES = (
+    T.TASK_LINK_POSITION,
+    T.TASK_LINK_POSITION_COM_FRAME,
+    T.TASK_LINK_POSITION_CUSTOM_FRAME,
+)
+
+
+def _parse_task_spec(spec):
+    """task_specs entry → (mode, link, task_point|None).  Entries are
+    (mode, link) or (mode, link, (px, py, pz)) — the optional point is the
+    body-frame task point of the reference's *_CUSTOM_FRAME modes
+    (TaskLink::task_point_, include/dwbc_task.h:49-115)."""
+    mode, link = spec[0], spec[1]
+    point = np.asarray(spec[2], np.float64) if len(spec) > 2 else None
+    return mode, link, point
 
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     contacts: tuple[T.ContactDef, ...]       # active contacts only
-    task_specs: tuple[tuple[tuple[int, int], ...], ...]  # per level: ((mode, link), ...)
+    task_specs: tuple[tuple[tuple, ...], ...]  # per level: ((mode, link[, point]), ...)
     torque_limit: np.ndarray | None
     qp_iters: int = 25
     use_hqp: bool = True
@@ -85,41 +227,102 @@ class CompiledTick:
             J = self.kin.frame_point_jacobian(
                 fk, c.link, jnp.asarray(c.contact_point, self.dtype)
             )
-            Js.append(J[..., : c.contact_dof, :])
+            Js.append(
+                dyn.contact_jacobian_rows(J, fk.R[..., c.link, :, :], c.contact_type)
+            )
         return jnp.concatenate(Js, axis=-2)
 
     def _constraint_blocks(self, st):
         consts = []
-        rotms = []
+        rots = []
         for c in self.cfg.contacts:
-            Z = dyn.zmp_const_matrix(c.plane_x, c.plane_y, dtype=self.dtype)
-            F = dyn.force_const_matrix(
-                c.friction_ratio, c.friction_ratio_z, dtype=self.dtype
+            consts.append(
+                dyn.contact_constraint_block(
+                    c.contact_type, c.plane_x, c.plane_y,
+                    c.friction_ratio, c.friction_ratio_z, dtype=self.dtype,
+                )
             )
-            consts.append(jnp.concatenate([Z, F], axis=0))
-            rotms.append(st.R[..., c.link, :, :])
-        return contact_constraint_blocks(consts, jnp.stack(rotms, axis=-3))
+            rots.append(
+                dyn.contact_rotation_block(c.contact_type, st.R[..., c.link, :, :])
+            )
+        return contact_constraint_blocks(consts, rots)
 
-    def _task_jacobian(self, st, level: int):
+    def _task_jacobian(self, st, fk, level: int):
         rows = []
-        for mode, link in self.cfg.task_specs[level]:
+        for spec in self.cfg.task_specs[level]:
+            mode, link, point = _parse_task_spec(spec)
             if link == self.model.nbody:
                 J6 = st.Jcom_total
             elif mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
                 J6 = st.Jcom[..., link, :, :]
-            else:
-                J6 = st.J[..., link, :, :]
-            if mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_6D_CUSTOM_FRAME):
-                rows.append(J6)
-            elif mode in (
-                T.TASK_LINK_POSITION,
-                T.TASK_LINK_POSITION_COM_FRAME,
+            elif point is not None and mode in (
+                T.TASK_LINK_6D_CUSTOM_FRAME,
                 T.TASK_LINK_POSITION_CUSTOM_FRAME,
             ):
+                # custom-frame task point (UpdateTaskSpace's CalcPointJac
+                # on task_point_, src/dwbc.cpp:694-716)
+                J6 = self.kin.frame_point_jacobian(
+                    fk, link, jnp.asarray(point, self.dtype)
+                )
+            else:
+                J6 = st.J[..., link, :, :]
+            if mode in _SIX_MODES:
+                rows.append(J6)
+            elif mode in _POS_MODES:
                 rows.append(J6[..., 0:3, :])
             else:
                 rows.append(J6[..., 3:6, :])
         return jnp.concatenate(rows, axis=-2)
+
+    def _task_state(self, st, mode, link, point):
+        """Current (pos, vel, rot, w) of a task link for the servo."""
+        if link == self.model.nbody:
+            pos, vel = st.com_pos, st.com_vel
+            rot = jnp.broadcast_to(
+                jnp.eye(3, dtype=self.dtype), st.com_pos.shape[:-1] + (3, 3)
+            )
+            return pos, vel, rot, jnp.zeros_like(vel)
+        rot = st.R[..., link, :, :]
+        wvel = st.w[..., link, :]
+        if mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
+            r = st.com_w[..., link, :] - st.p[..., link, :]
+        elif point is not None:
+            r = jnp.einsum("...ij,j->...i", rot, jnp.asarray(point, self.dtype))
+        else:
+            r = jnp.zeros_like(wvel)
+        pos = st.p[..., link, :] + r
+        vel = st.v[..., link, :] + jnp.cross(wvel, r)
+        return pos, vel, rot, wvel
+
+    def _apply_servos(self, st, level: int, fstar, servos_level):
+        """Replace f* rows whose task link carries a ServoParams with the
+        on-device trajectory-PD output (UpdateTaskSpace's fstar dispatch,
+        src/dwbc.cpp:685-793).  use_pos/use_rot blend per wrench half."""
+        rows = []
+        off = 0
+        for spec, sp in zip(self.cfg.task_specs[level], servos_level):
+            mode, link, point = _parse_task_spec(spec)
+            nrows = 6 if mode in _SIX_MODES else 3
+            f_in = fstar[..., off : off + nrows]
+            off += nrows
+            if sp is None:
+                rows.append(f_in)
+                continue
+            pos, vel, rot, wvel = self._task_state(st, mode, link, point)
+            f6 = servo_fstar(sp, pos, vel, rot, wvel)
+            up = sp.use_pos[..., None]
+            ur = sp.use_rot[..., None]
+            if mode in _SIX_MODES:
+                fp = up * f6[..., 0:3] + (1.0 - up) * f_in[..., 0:3]
+                fr = ur * f6[..., 3:6] + (1.0 - ur) * f_in[..., 3:6]
+                rows.append(jnp.concatenate(jnp.broadcast_arrays(fp, fr), axis=-1))
+            elif mode in _POS_MODES:
+                rows.append(up * f6[..., 0:3] + (1.0 - up) * f_in)
+            else:
+                rows.append(ur * f6[..., 3:6] + (1.0 - ur) * f_in)
+        batch = jnp.broadcast_shapes(*(r.shape[:-1] for r in rows))
+        rows = [jnp.broadcast_to(r, batch + r.shape[-1:]) for r in rows]
+        return jnp.concatenate(rows, axis=-1)
 
     # ------------------------------------------------------ warm-start carry
     def _level_dims(self):
@@ -129,7 +332,7 @@ class CompiledTick:
         m = self.model.model_dof
         cdof = sum(c.contact_dof for c in cfg.contacts)
         cfree = cdof - 6
-        k = 10 * len(cfg.contacts)  # 4 ZMP + 6 cone rows per contact
+        k = sum(c.constraint_number for c in cfg.contacts)  # ZMP + cone rows
         lim_rows = 2 * m if cfg.torque_limit is not None else 0
         dims = []
         for level in cfg.task_specs:
@@ -151,7 +354,7 @@ class CompiledTick:
         )
 
     # ---------------------------------------------------------------- tick
-    def _tick_impl(self, q, qdot, fstars, warm=None, qp_iters=None):
+    def _tick_impl(self, q, qdot, fstars, warm=None, qp_iters=None, servos=None):
         cfg = self.cfg
         m = self.model.model_dof
         st = self.kin.update(q, qdot)
@@ -188,9 +391,11 @@ class CompiledTick:
 
         prev_null = eye_m
         for h in range(len(cfg.task_specs)):
-            J_task = self._task_jacobian(st, h)
+            J_task = self._task_jacobian(st, fk, h)
             tf = dyn.task_jkt(J_task, st.A_inv, cs.N_C, cs.W_inv)
             fstar = fstars[h]
+            if servos is not None and servos[h] is not None:
+                fstar = self._apply_servos(st, h, fstar, servos[h])
             if cfg.use_hqp:
                 Ntorque = prev_null @ tf.J_kt @ tf.Lambda_task
                 res = solve_task_level_qp(
@@ -245,16 +450,17 @@ class CompiledTick:
             contact_force=cforce,
             qp_gap=gap,
             qp_primal_res=pres,
+            contact_rank_health=cs.rank_health,
         )
         if warm is not None:
             return result, tuple(warm_out)
         return result
 
-    def __call__(self, q, qdot, fstars) -> TickResult:
+    def __call__(self, q, qdot, fstars, servos=None) -> TickResult:
         q = jnp.asarray(q, self.dtype)
         qdot = jnp.asarray(qdot, self.dtype)
         fstars = tuple(jnp.asarray(f, self.dtype) for f in fstars)
-        return self._tick(q, qdot, fstars)
+        return self._tick(q, qdot, fstars, servos=servos)
 
     def batched(self):
         """Batched tick over a leading scenario axis (jitted).

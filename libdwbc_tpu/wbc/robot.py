@@ -250,7 +250,7 @@ class RobotData:
         Js = []
         for c in self.active_contacts():
             J = self.kin.frame_point_jacobian(fk, c.link, jnp.asarray(c.contact_point, self.dtype))
-            Js.append(J[: c.contact_dof])
+            Js.append(dyn.contact_jacobian_rows(J, st.R[..., c.link, :, :], c.contact_type))
         return jnp.concatenate(Js, axis=-2)
 
     def _fk(self, st: KinState):
@@ -288,19 +288,28 @@ class RobotData:
 
     def _constraint_blocks(self, st: KinState):
         consts = []
-        rotms = []
+        rots = []
         for c in self.active_contacts():
-            Z = dyn.zmp_const_matrix(c.plane_x, c.plane_y, dtype=self.dtype)
-            F = dyn.force_const_matrix(c.friction_ratio, c.friction_ratio_z, dtype=self.dtype)
-            consts.append(jnp.concatenate([Z, F], axis=0))
-            rotms.append(st.R[c.link])
-        return contact_constraint_blocks(consts, jnp.stack(rotms, axis=-3))
+            consts.append(
+                dyn.contact_constraint_block(
+                    c.contact_type, c.plane_x, c.plane_y,
+                    c.friction_ratio, c.friction_ratio_z, dtype=self.dtype,
+                )
+            )
+            rots.append(dyn.contact_rotation_block(c.contact_type, st.R[c.link]))
+        return contact_constraint_blocks(consts, rots)
 
     # ----------------------------------------------------------- pipeline
     def CalcContactConstraint(self):
         st = self.state
         self.J_C = self._contact_jacobian(st)
         self.cspace = dyn.contact_space(self.J_C, st.A_inv)
+        # numeric analog of the reference's "Contact Space Factorization
+        # Error" rank check (src/wbd.cpp:126-136): returns 0 on degeneracy
+        # instead of aborting, mirroring CalcContactConstraint's int status
+        self.contact_rank_health = self.cspace.rank_health
+        if float(np.asarray(self.cspace.rank_health).min()) < 1e-9:
+            return 0
         return 1
 
     def CalcGravCompensation(self):
@@ -1036,7 +1045,19 @@ class RobotData:
                 nc_h += 1
                 null = prev_null  # nc tasks don't consume reduced null space
             else:
-                raise NotImplementedError("mixed co+nc multi-link task")
+                # Parity with the reference: a task level spanning BOTH the
+                # contact chain and the non-contact chain is undefined there
+                # too — TaskSpace::CalcJKT_R prints "UNDEFINED TASK TYPE"
+                # and leaves the task unsolved
+                # (/root/reference/src/task.cpp:134-143).  We fail loudly
+                # instead of silently producing garbage.
+                raise NotImplementedError(
+                    "a task level spanning both contact-chain and "
+                    "non-contact-chain links is undefined in the reduced "
+                    "formulation (reference: 'UNDEFINED TASK TYPE', "
+                    "src/task.cpp:134-143); split the level or use the "
+                    "full-dimension pipeline"
+                )
             entry["null"] = null
             self._rtasks.append(entry)
             prev_null = null
@@ -1247,6 +1268,24 @@ class RobotData:
             worst_gap=max((h["gap"] for h in self.qp_history_), default=0.0),
         )
 
+    # ---------------------------------------------------------- centroidal
+    def CalcAngularMomentumMatrix(self):
+        """Explicit 3×ndof angular-momentum matrix about the whole-body COM
+        (src/dwbc.cpp:1633-1680)."""
+        from ..kin.centroidal import angular_momentum_matrix
+
+        return np.asarray(angular_momentum_matrix(self.kin, self.state))
+
+    def CalcVirtualCMM(self, body_mask=None, about=None):
+        """Angular-momentum matrix of a body subset about an arbitrary point
+        (``CalcVirtualCMM``, src/dwbc.cpp:1682-1709).  The reference builds a
+        throw-away RBDL virtual model from a link list; here pass a 0/1
+        (nbody,) mask selecting the links (None = all) and the reference
+        point (None = whole-body COM)."""
+        from ..kin.centroidal import virtual_cmm
+
+        return np.asarray(virtual_cmm(self.kin, self.state, body_mask, about))
+
     # ------------------------------------------------------------ observers
     def getContactForce(self, command_torque):
         return np.asarray(
@@ -1262,19 +1301,25 @@ class RobotData:
         st = self.state
         total_fz = 0.0
         zmp = np.zeros(3)
-        poss = []
-        for i, c in enumerate(self.active_contacts()):
+        poss, offs = [], []
+        off = 0
+        for c in self.active_contacts():
             pw = np.asarray(st.p[c.link] + st.R[c.link] @ jnp.asarray(c.contact_point, self.dtype))
             poss.append(pw)
-            total_fz += cf[2 + 6 * i]
+            offs.append(off)
+            total_fz += cf[off + 2]
+            off += c.contact_dof
         for i, c in enumerate(self.active_contacts()):
-            fz = cf[6 * i + 2]
-            if fz > -1e-3:
+            o = offs[i]
+            fz = cf[o + 2]
+            if fz > -1e-3 or c.contact_type == T.CONTACT_POINT:
+                # a point contact's ZMP is its own position (no moment rows)
                 zp = poss[i]
+            elif c.contact_type == T.CONTACT_LINE:
+                # line wrench layout [f(3), my, mz]: CoP moves along the line
+                zp = poss[i] + np.array([-cf[o + 3] / fz, 0.0, 0.0])
             else:
-                zp = poss[i] + np.array(
-                    [-cf[6 * i + 4] / fz, cf[6 * i + 3] / fz, 0.0]
-                )
+                zp = poss[i] + np.array([-cf[o + 4] / fz, cf[o + 3] / fz, 0.0])
             zmp += zp * fz / total_fz
         return zmp
 

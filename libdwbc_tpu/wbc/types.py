@@ -15,9 +15,14 @@ CONTACT_LINE = 2
 CONTACT_DOF = {CONTACT_6D: 6, CONTACT_POINT: 3, CONTACT_LINE: 5}
 CONTACT_CONSTRAINT_ZMP = 4
 CONTACT_CONSTRAINT_FORCE = 6
+# Live constraint rows per type.  The reference declares ZMP+FORCE = 10 for
+# CONTACT_LINE (contact_constraint.cpp:24-28) but never implements line
+# contacts (Update commented out, :63-69); a zero-width line has only 2 CoP
+# rows (±my ≤ lx·fz), so the live count here is 8 (see
+# dynamics.contact_constraint_block).
 CONTACT_CONSTRAINTS = {
     CONTACT_6D: CONTACT_CONSTRAINT_ZMP + CONTACT_CONSTRAINT_FORCE,
-    CONTACT_LINE: CONTACT_CONSTRAINT_ZMP + CONTACT_CONSTRAINT_FORCE,
+    CONTACT_LINE: 2 + CONTACT_CONSTRAINT_FORCE,
     CONTACT_POINT: CONTACT_CONSTRAINT_FORCE,
 }
 

@@ -30,6 +30,50 @@ def test_explicit_amm_matches_cmm(tocabi_kin):
     assert np.abs(h[3:6] - H_explicit @ qd).max() < 1e-9
 
 
+def test_virtual_cmm(tocabi_kin):
+    """CalcVirtualCMM parity properties (src/dwbc.cpp:1682-1709): all-body
+    mask about the COM == the full AMM; the matrix is additive over body
+    partitions at a fixed reference point; H_sub·q̇ equals the numerically
+    integrated angular momentum of the subset."""
+    from libdwbc_tpu.kin.centroidal import angular_momentum_matrix, virtual_cmm
+
+    kin = tocabi_kin
+    nb = kin.model.nbody
+    rng = np.random.default_rng(3)
+    q = full_q(CASE_Q[1])
+    qd = rng.standard_normal(39) * 0.3
+    st = kin.update(jnp.array(q), jnp.array(qd))
+
+    H_all = np.asarray(virtual_cmm(kin, st, jnp.ones(nb)))
+    np.testing.assert_allclose(
+        H_all, np.asarray(angular_momentum_matrix(kin, st)), atol=1e-10
+    )
+
+    # additivity over a partition at a fixed point
+    about = jnp.asarray([0.1, -0.2, 0.5])
+    mask_a = jnp.asarray((np.arange(nb) < nb // 2).astype(float))
+    mask_b = 1.0 - mask_a
+    H_a = np.asarray(virtual_cmm(kin, st, mask_a, about))
+    H_b = np.asarray(virtual_cmm(kin, st, mask_b, about))
+    H_ab = np.asarray(virtual_cmm(kin, st, jnp.ones(nb), about))
+    np.testing.assert_allclose(H_a + H_b, H_ab, atol=1e-10)
+
+    # subset momentum against a direct per-body sum
+    m = kin.model
+    h_direct = np.zeros(3)
+    about_n = np.asarray(about)
+    for b in range(nb // 2):
+        Rb = np.asarray(st.R[b])
+        wb = np.asarray(st.w[b])
+        vb = np.asarray(st.v[b])
+        cw = Rb @ np.asarray(m.com[b])
+        v_com = vb + np.cross(wb, cw)
+        x_com = np.asarray(st.p[b]) + cw
+        Iw = Rb @ np.asarray(m.inertia[b]) @ Rb.T
+        h_direct += Iw @ wb + m.mass[b] * np.cross(x_com - about_n, v_com)
+    np.testing.assert_allclose(H_a @ qd, h_direct, atol=1e-9)
+
+
 def test_randomized_perturbed_loop():
     """Perturbed-configuration robustness: every QP stays feasible, torques
     bounded, over randomized states around the stand."""

@@ -55,6 +55,30 @@ def test_complete_basis():
     assert np.abs(np.swapaxes(N, -1, -2) @ A).max() < 1e-8
 
 
+def test_qr_inv():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((4, 9, 9))
+    # make one batch member ill-conditioned (cond ~1e6)
+    U, s, Vt = np.linalg.svd(M[0])
+    s = np.geomspace(1.0, 1e-6, 9)
+    M[0] = (U * s) @ Vt
+    Minv = np.asarray(sm.qr_inv(jnp.array(M)))
+    err = np.abs(Minv @ M - np.eye(9)).max()
+    assert err < 1e-7  # inv_via_normal would lose ~12 digits on cond 1e6
+
+
+def test_qr_pinv_rank_deficient():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(6)
+    M = rng.standard_normal((8, 8))
+    M[:, -1] = M[:, 0] + M[:, 1]  # exactly singular, rank 7
+    P = np.asarray(sm.qr_pinv(jnp.array(M)))
+    assert np.isfinite(P).all()
+    # P acts as the inverse on the live subspace: M P M ≈ M
+    np.testing.assert_allclose(M @ P @ M, M, atol=1e-8)
+
+
 def test_inv_via_normal():
     rng = np.random.default_rng(3)
     M = rng.standard_normal((4, 6, 6)) + 3 * np.eye(6)
