@@ -122,7 +122,26 @@ def main():
     ap.add_argument("--dofs", type=str, default="")
     ap.add_argument("-o", "--out", type=str, default="",
                     help="also write all rows to this JSON artifact")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (accelerator) platform; by "
+                         "default the sweep forces CPU — it runs f64 "
+                         "pipelines, which TPU linalg does not support")
     args = ap.parse_args()
+
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        import jax
+    # persistent compilation cache: a resumed/re-run sweep skips the jits
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
 
     urdfs = sorted(glob.glob(os.path.join(DOF_DIR, "*.urdf")))
     if args.dofs:
@@ -132,17 +151,30 @@ def main():
         print(json.dumps({"error": f"no URDFs found under {DOF_DIR}"}))
         return
 
+    # resume: keep rows already recorded in the artifact (the full f64 sweep
+    # is compile-bound; an interrupted run should not redo finished models)
     rows = []
+    done = set()
+    if args.out and os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                rows = [r for r in json.load(f)["rows"] if "error" not in r]
+            done = {r["urdf"] for r in rows}
+        except Exception:
+            rows, done = [], set()
+
     for u in urdfs:
+        if os.path.basename(u) in done:
+            continue
         try:
             row = run_one(u, args.repeats)
         except Exception as e:  # noqa: BLE001 — sweep should report, not die
             row = {"urdf": os.path.basename(u), "error": str(e)}
         print(json.dumps(row), flush=True)
         rows.append(row)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump({"repeats": args.repeats, "rows": rows}, f, indent=1)
+        if args.out:  # incremental write: partial sweeps still leave data
+            with open(args.out, "w") as f:
+                json.dump({"repeats": args.repeats, "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
