@@ -275,7 +275,14 @@ class Kinematics:
 
         # Unrolled Cholesky inverse: XLA's LAPACK-shaped batched cholesky /
         # cho_solve are latency-bound on TPU at these sizes (≤48 dof).
-        if self.ndof <= 48:
+        # Large batches on TPU route to the Pallas megakernel — the unrolled
+        # XLA graph's intermediates round-trip HBM between fusions and
+        # dominated the batched tick (see ops/pallas_linalg.py).
+        from ..ops.pallas_linalg import pallas_inv_eligible, pallas_psd_inverse
+
+        if pallas_inv_eligible(A):
+            A_inv = pallas_psd_inverse(A)
+        elif self.ndof <= 48:
             A_inv = sm.psd_inverse(A)
         else:
             eye = jnp.broadcast_to(jnp.eye(self.ndof, dtype=dtype), A.shape)

@@ -61,7 +61,13 @@ def _psd_inv(M):
 
     Small sizes use the unrolled smallmat kernels: XLA's LAPACK-shaped
     cholesky/triangular_solve are latency-bound on TPU for tiny batched
-    matrices (measured: they dominated the pre-QP tick wall-clock)."""
+    matrices (measured: they dominated the pre-QP tick wall-clock).  Large
+    TPU batches route to the Pallas megakernel (ops/pallas_linalg.py) —
+    the unrolled XLA graph's HBM round-trips dominated the batched tick."""
+    from ..ops.pallas_linalg import pallas_inv_eligible, pallas_psd_inverse
+
+    if pallas_inv_eligible(M):
+        return pallas_psd_inverse(M)
     if M.shape[-1] <= _UNROLL_LIMIT:
         return sm.psd_inverse(M)
     L = jnp.linalg.cholesky(M)
