@@ -58,7 +58,9 @@ class KinState(NamedTuple):
     w: jnp.ndarray          # (nbody,3) body angular velocity, world frame
     v: jnp.ndarray          # (nbody,3) body-origin linear velocity, world frame
     com_w: jnp.ndarray      # (nbody,3) per-body COM, world
-    J: jnp.ndarray          # (nbody,6,ndof) [Jv;Jw] at body origin
+    J: jnp.ndarray          # (nbody,6,ndof) [Jv;Jw] at body origin — or, when
+                            # ``update(J_bodies=...)`` narrowed it, only those
+                            # bodies' rows (len(J_bodies),6,ndof)
     Jcom: jnp.ndarray       # (nbody,6,ndof) [Jv;Jw] at body COM
     A: jnp.ndarray          # (ndof,ndof) mass matrix
     A_inv: jnp.ndarray      # (ndof,ndof)
@@ -69,6 +71,10 @@ class KinState(NamedTuple):
     com_inertia: jnp.ndarray  # (3,3) locked inertia about COM, world frame
     CMM: jnp.ndarray        # (6,ndof) centroidal momentum matrix [linear; angular]
     Jcom_total: jnp.ndarray  # (6,ndof) COM 'link' jacobian = SI⁻¹·CMM (pos-first)
+    J_pts: jnp.ndarray = None  # (P,6,ndof) jacobians of the static body-fixed
+                               # ``points`` requested via ``update(points=...)``
+                               # (fused into the same masked-einsum pass as
+                               # J/Jcom); None when no points were requested
 
 
 class Kinematics:
@@ -84,9 +90,19 @@ class Kinematics:
         self.ndof = m.ndof
         self.base_dof = 6 if m.floating else 0
         # Static constants (converted to jnp lazily per-dtype).
+        # Symmetric PSD square root of each body inertia (f64, once at
+        # construction): Iw = R·I·Rᵀ = (R·S)(R·S)ᵀ with S = I^{1/2}, which
+        # lets the mass matrix collapse to ONE Gram GEMM (see mass_matrix).
+        # eigh-based sqrt so massless pseudo-bodies (singular I) stay exact.
+        ev, U = np.linalg.eigh(np.asarray(m.inertia, np.float64))
+        inertia_sqrt = np.einsum(
+            "bij,bj,bkj->bik", U, np.sqrt(np.maximum(ev, 0.0)), U
+        )
         self._np_consts = dict(
             X_T_rot=m.X_T_rot, X_T_trans=m.X_T_trans, axis=m.axis,
             mass=m.mass, com=m.com, inertia=m.inertia,
+            sqrt_mass=np.sqrt(np.maximum(np.asarray(m.mass, np.float64), 0.0)),
+            inertia_sqrt=inertia_sqrt,
             amask=m.ancestor_mask, gravity=m.gravity,
         )
         self.parent = [int(x) for x in m.parent]
@@ -185,20 +201,24 @@ class Kinematics:
         """Jacobians [Jv;Jw] for world `points` (...,P,3) attached to bodies
         selected by `body_mask` (P,ndof) ancestor masks. Returns (...,P,6,ndof).
 
-        A single masked cross-product einsum replaces P tree walks.
+        A single masked cross-product pass replaces P tree walks.  Layout is
+        component-major (...,P,3,ndof) throughout: the dof axis — the only
+        wide one — stays in the TPU lane dimension (a (…,ndof,3) layout puts
+        3 in lanes, ~2 % occupancy), and the output rows [Jv;Jw] concatenate
+        directly with no transposes of the big temporaries.
         """
         dof_axis, dof_origin, is_trans = self._dof_frames(fk)
-        # rel: (...,P,ndof,3)
-        rel = points[..., :, None, :] - dof_origin[..., None, :, :]
-        jv_rot = jnp.cross(dof_axis[..., None, :, :], rel, axis=-1)
-        jv = jnp.where(is_trans[..., None] > 0, dof_axis[..., None, :, :], jv_rot)
-        jw = jnp.where(is_trans[..., None] > 0, 0.0, dof_axis[..., None, :, :])
-        mask = body_mask[..., :, :, None]  # (P,ndof,1)
+        ax = jnp.swapaxes(dof_axis, -1, -2)[..., None, :, :]      # (...,1,3,ndof)
+        og = jnp.swapaxes(dof_origin, -1, -2)                     # (...,3,ndof)
+        rel = points[..., :, :, None] - og[..., None, :, :]       # (...,P,3,ndof)
+        jv_rot = jnp.cross(jnp.broadcast_to(ax, rel.shape), rel, axis=-2)
+        jv = jnp.where(is_trans > 0, ax, jv_rot)
+        jw = jnp.where(is_trans > 0, 0.0, ax)
+        mask = body_mask[..., :, None, :]                         # (P,1,ndof)
         jv = jv * mask
-        jw = jw * mask
+        jw = jnp.broadcast_to(jw * mask, jv.shape)
         # → (...,P,6,ndof)
-        return jnp.concatenate(
-            [jnp.swapaxes(jv, -1, -2), jnp.swapaxes(jw, -1, -2)], axis=-2)
+        return jnp.concatenate([jv, jw], axis=-2)
 
     def body_jacobians(self, fk: FK):
         """(J, Jcom): (...,nbody,6,ndof) at body origins and COMs."""
@@ -210,16 +230,23 @@ class Kinematics:
     # ---------------------------------------------------------------- CRBA
     def mass_matrix(self, fk: FK, Jcom):
         """A = Σ_b m_b Jv^T Jv + Jw^T (R I R^T) Jw  — dense MXU-friendly form,
-        algebraically equal to CRBA (src/dwbc.cpp:305)."""
+        algebraically equal to CRBA (src/dwbc.cpp:305).
+
+        Computed as ONE Gram GEMM A = KᵀK with K = [√m_b·Jv_b ; (R_b·I_b^½)ᵀJw_b]
+        stacked over bodies: the contraction depth becomes 6·nbody (≈210 for
+        Tocabi) — deep enough to tile the MXU — instead of two shallow
+        per-body einsums, and the result is exactly symmetric."""
         dtype = fk.p.dtype
-        mass = self._c("mass", dtype)
-        inertia = self._c("inertia", dtype)
+        sqrt_m = self._c("sqrt_mass", dtype)
+        S = self._c("inertia_sqrt", dtype)
         Jv = Jcom[..., :, 0:3, :]
         Jw = Jcom[..., :, 3:6, :]
-        Iw = jnp.einsum("...bij,bjk,...blk->...bil", fk.R, inertia, fk.R)
-        A = jnp.einsum("...bin,b,...bim->...nm", Jv, mass, Jv)
-        A = A + jnp.einsum("...bin,...bij,...bjm->...nm", Jw, Iw, Jw)
-        return A
+        RS = jnp.einsum("...bij,bjk->...bik", fk.R, S)          # (...,b,3,3)
+        Kv = sqrt_m[:, None, None] * Jv                          # (...,b,3,n)
+        Kw = jnp.einsum("...bji,...bjn->...bin", RS, Jw)         # (RS)ᵀ Jw
+        K = jnp.concatenate([Kv, Kw], axis=-2)                   # (...,b,6,n)
+        Kf = K.reshape(K.shape[:-3] + (self.nbody * 6, self.ndof))
+        return jnp.einsum("...kn,...km->...nm", Kf, Kf)
 
     # ------------------------------------------------------ bias (nonlin.)
     def bias_forces(self, fk: FK, w, v, Jcom):
@@ -265,12 +292,56 @@ class Kinematics:
         return B
 
     # ------------------------------------------------------------- update
-    def update(self, q, qdot) -> KinState:
-        """Full kinematics/dynamics update — one jittable graph."""
+    def update(self, q, qdot, J_bodies=None, points=None) -> KinState:
+        """Full kinematics/dynamics update — one jittable graph.
+
+        J_bodies: optional static tuple of body indices — compute body-origin
+            jacobians (``KinState.J``) only for those bodies instead of all
+            nbody (the COM jacobians, which the mass matrix and bias forces
+            need for every body, are always complete).  The fused tick uses
+            this: it reads st.J at its task links only, so forming the other
+            ~30 bodies' origin jacobians is pure HBM traffic.
+        points: optional static tuple of ``(body, (x,y,z))`` body-fixed
+            points — their world point jacobians come back in
+            ``KinState.J_pts``, computed in the SAME masked-einsum pass as
+            J/Jcom (one set of (…,P,ndof,3) temporaries instead of one per
+            ``frame_point_jacobian`` call).
+        """
         dtype = q.dtype
         fk = self.fk(q)
         w, v = self.velocities(fk, qdot)
-        J, Jcom = self.body_jacobians(fk)
+
+        # One fused point-jacobian pass for COM points + requested origin
+        # points + requested body-fixed points.
+        amask_np = self._np_consts["amask"]
+        amask = self._c("amask", dtype)
+        pts = [fk.com_w]
+        masks = [amask_np]
+        if J_bodies is None:
+            pts.append(fk.p)
+            masks.append(amask_np)
+            nj = self.nbody
+        else:
+            idx = np.asarray(J_bodies, np.int32)
+            pts.append(fk.p[..., idx, :])
+            masks.append(amask_np[idx])
+            nj = len(J_bodies)
+        if points:
+            for b, lp in points:
+                p_w = fk.p[..., b, :] + jnp.einsum(
+                    "...ij,j->...i", fk.R[..., b, :, :],
+                    jnp.asarray(np.asarray(lp, np.float64), dtype))
+                pts.append(p_w[..., None, :])
+                masks.append(amask_np[int(b)][None, :])
+        batch = jnp.broadcast_shapes(*(p.shape[:-2] for p in pts))
+        pts = [jnp.broadcast_to(p, batch + p.shape[-2:]) for p in pts]
+        Jall = self.point_jacobians(
+            fk, jnp.concatenate(pts, axis=-2),
+            jnp.asarray(np.concatenate(masks, axis=0), dtype))
+        Jcom = Jall[..., : self.nbody, :, :]
+        J = Jall[..., self.nbody : self.nbody + nj, :, :]
+        J_pts = Jall[..., self.nbody + nj :, :, :] if points else None
+
         A = self.mass_matrix(fk, Jcom)
 
         # Unrolled Cholesky inverse: XLA's LAPACK-shaped batched cholesky /
@@ -331,7 +402,7 @@ class Kinematics:
             q=q, qdot=qdot, R=fk.R, p=fk.p, w=w, v=v, com_w=fk.com_w,
             J=J, Jcom=Jcom, A=A, A_inv=A_inv, B=B, G=G,
             com_pos=com_pos, com_vel=com_vel, com_inertia=com_inertia,
-            CMM=CMM, Jcom_total=Jcom_total,
+            CMM=CMM, Jcom_total=Jcom_total, J_pts=J_pts,
         )
 
     # ------------------------------------------------- arbitrary points

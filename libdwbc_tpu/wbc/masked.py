@@ -169,10 +169,13 @@ class MaskedTick:
     """
 
     def __init__(self, model: RobotModel, cfg: PipelineConfig, dtype=jnp.float32):
+        from .pipeline import _plan_jacobians
+
         self.model = model
         self.cfg = cfg
         self.kin = Kinematics(model)
         self.dtype = dtype
+        self._J_bodies, self._points, self._task_slots = _plan_jacobians(model, cfg)
         self._tick = jax.jit(self._tick_impl)
 
     # Static per-type masks over the 6-padded layouts.  Non-6D contacts are
@@ -211,7 +214,9 @@ class MaskedTick:
         model = self.model
         m = model.model_dof
         nc = len(cfg.contacts)
-        st = self.kin.update(q, qdot)
+        st = self.kin.update(
+            q, qdot, J_bodies=self._J_bodies, points=self._points
+        )
         fk = FK(
             R=st.R, p=st.p,
             axis_w=jnp.einsum(
@@ -226,10 +231,8 @@ class MaskedTick:
         # per-type row mask; LINE moment rows pre-rotated into the contact
         # frame so the masked row is the local-x moment)
         Js = []
-        for c in cfg.contacts:
-            J = self.kin.frame_point_jacobian(
-                fk, c.link, jnp.asarray(c.contact_point, self.dtype)
-            )
+        for i, c in enumerate(cfg.contacts):
+            J = st.J_pts[..., i, :, :]
             if c.contact_type == T.CONTACT_LINE:
                 RT = jnp.swapaxes(st.R[..., c.link, :, :], -1, -2)
                 J = jnp.concatenate(
@@ -356,31 +359,12 @@ class MaskedTick:
         )
 
     def _task_jacobian(self, st, fk, level: int):
-        from .pipeline import _parse_task_spec, _POS_MODES, _SIX_MODES
+        from .pipeline import _resolve_task_jacobian
 
-        rows = []
-        for spec in self.cfg.task_specs[level]:
-            mode, link, point = _parse_task_spec(spec)
-            if link == self.model.nbody:
-                J6 = st.Jcom_total
-            elif mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
-                J6 = st.Jcom[..., link, :, :]
-            elif point is not None and mode in (
-                T.TASK_LINK_6D_CUSTOM_FRAME,
-                T.TASK_LINK_POSITION_CUSTOM_FRAME,
-            ):
-                J6 = self.kin.frame_point_jacobian(
-                    fk, link, jnp.asarray(point, self.dtype)
-                )
-            else:
-                J6 = st.J[..., link, :, :]
-            if mode in _SIX_MODES:
-                rows.append(J6)
-            elif mode in _POS_MODES:
-                rows.append(J6[..., 0:3, :])
-            else:
-                rows.append(J6[..., 3:6, :])
-        return jnp.concatenate(rows, axis=-2)
+        return _resolve_task_jacobian(
+            self.kin, self.model, self.cfg, self._task_slots, st, fk, level,
+            self.dtype,
+        )
 
     def __call__(self, q, qdot, fstars, contact_mask) -> TickResult:
         q = jnp.asarray(q, self.dtype)

@@ -188,6 +188,73 @@ def _parse_task_spec(spec):
     return mode, link, point
 
 
+def _plan_jacobians(model, cfg):
+    """Static jacobian-narrowing plan shared by the fused and masked ticks:
+    which body-origin jacobians (``J_bodies``) and body-fixed point jacobians
+    (``points`` = contact points first, then custom-frame task points) the
+    tick actually reads, plus per-level slots resolving each task spec to its
+    jacobian source.  Declaring these lets ``Kinematics.update`` skip the
+    other ~nbody origin jacobians and fuse every point into one masked pass."""
+    points = [
+        (int(c.link), tuple(float(x) for x in np.asarray(c.contact_point)))
+        for c in cfg.contacts
+    ]
+    j_bodies: list[int] = []
+    slots = []
+    for level in cfg.task_specs:
+        lvl_slots = []
+        for spec in level:
+            mode, link, point = _parse_task_spec(spec)
+            if link == model.nbody:
+                lvl_slots.append(("tot", None))
+            elif mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
+                lvl_slots.append(("com", link))
+            elif point is not None and mode in (
+                T.TASK_LINK_6D_CUSTOM_FRAME, T.TASK_LINK_POSITION_CUSTOM_FRAME,
+            ):
+                points.append((int(link), tuple(float(x) for x in point)))
+                lvl_slots.append(("pt", len(points) - 1))
+            else:
+                if int(link) not in j_bodies:
+                    j_bodies.append(int(link))
+                lvl_slots.append(("J", (link, j_bodies.index(int(link)))))
+        slots.append(tuple(lvl_slots))
+    return tuple(j_bodies), tuple(points), tuple(slots)
+
+
+def _resolve_task_jacobian(kin, model, cfg, task_slots, st, fk, level, dtype):
+    """Assemble one level's task jacobian from the slot plan.  st may come
+    from a narrowed update (st.J holds only the planned task links, st.J_pts
+    the contact/custom points) or from a plain full update (profile
+    harnesses, loop transitions) — both resolve."""
+    narrowed = st.J.shape[-3] != model.nbody
+    rows = []
+    for spec, slot in zip(cfg.task_specs[level], task_slots[level]):
+        mode, link, point = _parse_task_spec(spec)
+        kind, payload = slot
+        if kind == "tot":
+            J6 = st.Jcom_total
+        elif kind == "com":
+            J6 = st.Jcom[..., payload, :, :]
+        elif kind == "pt":
+            if st.J_pts is not None:
+                J6 = st.J_pts[..., payload, :, :]
+            else:
+                # custom-frame task point (UpdateTaskSpace's CalcPointJac
+                # on task_point_, src/dwbc.cpp:694-716)
+                J6 = kin.frame_point_jacobian(fk, link, jnp.asarray(point, dtype))
+        else:
+            blink, bidx = payload
+            J6 = st.J[..., bidx if narrowed else blink, :, :]
+        if mode in _SIX_MODES:
+            rows.append(J6)
+        elif mode in _POS_MODES:
+            rows.append(J6[..., 0:3, :])
+        else:
+            rows.append(J6[..., 3:6, :])
+    return jnp.concatenate(rows, axis=-2)
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     contacts: tuple[T.ContactDef, ...]       # active contacts only
@@ -205,6 +272,7 @@ class CompiledTick:
         self.cfg = cfg
         self.kin = Kinematics(model)
         self.dtype = dtype
+        self._J_bodies, self._points, self._task_slots = _plan_jacobians(model, cfg)
         self._tick = jax.jit(self._tick_impl, static_argnames=("qp_iters",))
 
     # -------------------------------------------------------------- pieces
@@ -220,6 +288,18 @@ class CompiledTick:
 
     def _contact_jacobian_from_state(self, st):
         return self._contact_jacobian(self._fk_from_state(st))
+
+    def _contact_jacobian_pts(self, st):
+        """Contact jacobian rows from the fused-update point jacobians
+        (st.J_pts slots 0..ncontacts-1) — no extra point-jacobian pass."""
+        Js = []
+        for i, c in enumerate(self.cfg.contacts):
+            Js.append(
+                dyn.contact_jacobian_rows(
+                    st.J_pts[..., i, :, :], st.R[..., c.link, :, :], c.contact_type
+                )
+            )
+        return jnp.concatenate(Js, axis=-2)
 
     def _contact_jacobian(self, fk: FK):
         Js = []
@@ -248,31 +328,10 @@ class CompiledTick:
         return contact_constraint_blocks(consts, rots)
 
     def _task_jacobian(self, st, fk, level: int):
-        rows = []
-        for spec in self.cfg.task_specs[level]:
-            mode, link, point = _parse_task_spec(spec)
-            if link == self.model.nbody:
-                J6 = st.Jcom_total
-            elif mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
-                J6 = st.Jcom[..., link, :, :]
-            elif point is not None and mode in (
-                T.TASK_LINK_6D_CUSTOM_FRAME,
-                T.TASK_LINK_POSITION_CUSTOM_FRAME,
-            ):
-                # custom-frame task point (UpdateTaskSpace's CalcPointJac
-                # on task_point_, src/dwbc.cpp:694-716)
-                J6 = self.kin.frame_point_jacobian(
-                    fk, link, jnp.asarray(point, self.dtype)
-                )
-            else:
-                J6 = st.J[..., link, :, :]
-            if mode in _SIX_MODES:
-                rows.append(J6)
-            elif mode in _POS_MODES:
-                rows.append(J6[..., 0:3, :])
-            else:
-                rows.append(J6[..., 3:6, :])
-        return jnp.concatenate(rows, axis=-2)
+        return _resolve_task_jacobian(
+            self.kin, self.model, self.cfg, self._task_slots, st, fk, level,
+            self.dtype,
+        )
 
     def _task_state(self, st, mode, link, point):
         """Current (pos, vel, rot, w) of a task link for the servo."""
@@ -337,9 +396,9 @@ class CompiledTick:
         dims = []
         for level in cfg.task_specs:
             t = sum(
-                6 if mode in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
-                              T.TASK_LINK_6D_CUSTOM_FRAME) else 3
-                for mode, _ in level
+                6 if spec[0] in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
+                                 T.TASK_LINK_6D_CUSTOM_FRAME) else 3
+                for spec in level
             )
             dims.append((t + cfree, lim_rows + k))
         dims.append((cfree, lim_rows + k))
@@ -357,7 +416,9 @@ class CompiledTick:
     def _tick_impl(self, q, qdot, fstars, warm=None, qp_iters=None, servos=None):
         cfg = self.cfg
         m = self.model.model_dof
-        st = self.kin.update(q, qdot)
+        st = self.kin.update(
+            q, qdot, J_bodies=self._J_bodies, points=self._points
+        )
         fk = FK(
             R=st.R,
             p=st.p,
@@ -367,7 +428,7 @@ class CompiledTick:
             com_w=st.com_w,
         )
 
-        J_C = self._contact_jacobian(fk)
+        J_C = self._contact_jacobian_pts(st)
         cs = dyn.contact_space(J_C, st.A_inv)
         torque_grav, P_C = dyn.gravity_compensation(
             st.A_inv, cs.W_inv, cs.N_C, cs.J_C_INV_T, st.G
