@@ -26,7 +26,15 @@ def virtual_cmm(kin: Kinematics, st: KinState, body_mask=None, about=None):
     about: (...,3) reference point (None = the whole-body COM).
     Returns the 3×ndof matrix H with H·q̇ = angular momentum of the
     selected bodies about ``about`` (world frame).
+
+    Requires a FULL (un-narrowed) KinState: st.J indexed over all bodies.
     """
+    if st.J.shape[-3] != kin.nbody:
+        raise ValueError(
+            "virtual_cmm needs a full KinState (st.J over all bodies); got a "
+            f"narrowed update with {st.J.shape[-3]} of {kin.nbody} body rows. "
+            "Re-run kin.update without J_bodies narrowing."
+        )
     m = kin.model
     mass = jnp.asarray(m.mass, st.A.dtype)
     if body_mask is not None:

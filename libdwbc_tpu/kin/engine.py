@@ -304,8 +304,8 @@ class Kinematics:
         points: optional static tuple of ``(body, (x,y,z))`` body-fixed
             points — their world point jacobians come back in
             ``KinState.J_pts``, computed in the SAME masked-einsum pass as
-            J/Jcom (one set of (…,P,ndof,3) temporaries instead of one per
-            ``frame_point_jacobian`` call).
+            J/Jcom (one set of component-major (…,P,3,ndof) temporaries
+            instead of one per ``frame_point_jacobian`` call).
         """
         dtype = q.dtype
         fk = self.fk(q)
@@ -314,7 +314,6 @@ class Kinematics:
         # One fused point-jacobian pass for COM points + requested origin
         # points + requested body-fixed points.
         amask_np = self._np_consts["amask"]
-        amask = self._c("amask", dtype)
         pts = [fk.com_w]
         masks = [amask_np]
         if J_bodies is None:

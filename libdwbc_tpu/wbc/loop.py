@@ -107,7 +107,7 @@ def forward_dynamics_transition(tick: CompiledTick):
 
 
 def make_control_loop(
-    tick: CompiledTick,
+    tick,
     transition: Callable | None = None,
     K: int = 100,
     dt: float = 0.001,
@@ -116,6 +116,11 @@ def make_control_loop(
     gap_fallback: float | None = None,
 ):
     """Build a jitted K-tick on-device loop.
+
+    tick: a ``CompiledTick`` or a ``MaskedTick`` (wbc/masked.py).  For a
+    MaskedTick the returned loop takes an extra ``contact_mask`` argument
+    after ``fstars`` (the per-scenario candidate-contact activity mask,
+    held fixed across the K ticks).
 
     transition(q, qdot, TickResult, dt) -> (q', qdot') runs between ticks.
 
@@ -131,33 +136,48 @@ def make_control_loop(
     the full iteration budget (a lax.cond — the refine branch costs nothing
     when not taken).
     """
+    from .masked import MaskedTick
+
     trans = transition or default_transition(tick.model)
+    masked = isinstance(tick, MaskedTick)
+
+    def _tick(q, qdot, fstars, cmask, **kw):
+        if masked:
+            if cmask is None:
+                raise ValueError("MaskedTick loop needs contact_mask")
+            return tick._tick_impl(q, qdot, fstars, cmask, **kw)
+        if cmask is not None:
+            raise ValueError(
+                "contact_mask given for a CompiledTick loop (did you mean to "
+                "pass servos=...? contact_mask is only for MaskedTick)"
+            )
+        return tick._tick_impl(q, qdot, fstars, **kw)
 
     if warm_start:
         w_iters = warm_iters or max(tick.cfg.qp_iters // 2, 4)
 
-        @jax.jit
-        def loop(q0, qdot0, fstars, servos=None):
+        def loop(q0, qdot0, fstars, contact_mask=None, servos=None):
             warm0 = tick.init_warm(q0.shape[:-1])
-            res0, warm = tick._tick_impl(
-                q0, qdot0, fstars, warm=warm0, qp_iters=tick.cfg.qp_iters,
-                servos=servos,
+            res0, warm = _tick(
+                q0, qdot0, fstars, contact_mask, warm=warm0,
+                qp_iters=tick.cfg.qp_iters, servos=servos,
             )
             q, qdot = trans(q0, qdot0, res0, dt)
 
             def body(carry, k):
                 q, qdot, warm = carry
                 sv = _advance_servos(servos, k * dt)
-                res, warm = tick._tick_impl(
-                    q, qdot, fstars, warm=warm, qp_iters=w_iters, servos=sv
+                res, warm = _tick(
+                    q, qdot, fstars, contact_mask, warm=warm,
+                    qp_iters=w_iters, servos=sv,
                 )
                 if gap_fallback is not None:
                     res, warm = jax.lax.cond(
                         jnp.maximum(
                             jnp.max(res.qp_gap), jnp.max(res.qp_primal_res)
                         ) > gap_fallback,
-                        lambda: tick._tick_impl(
-                            q, qdot, fstars, warm=warm,
+                        lambda: _tick(
+                            q, qdot, fstars, contact_mask, warm=warm,
                             qp_iters=tick.cfg.qp_iters, servos=sv,
                         ),
                         lambda: (res, warm),
@@ -173,14 +193,14 @@ def make_control_loop(
             return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
                               qp_primal_res=pres)
 
-        return loop
+        return jax.jit(loop)
 
-    @jax.jit
-    def loop(q0, qdot0, fstars, servos=None):
+    def loop(q0, qdot0, fstars, contact_mask=None, servos=None):
         def body(carry, k):
             q, qdot = carry
-            res = tick._tick_impl(
-                q, qdot, fstars, servos=_advance_servos(servos, k * dt)
+            res = _tick(
+                q, qdot, fstars, contact_mask,
+                servos=_advance_servos(servos, k * dt),
             )
             q, qdot = trans(q, qdot, res, dt)
             return (q, qdot), (res.torque_cmd, res.qp_primal_res)
@@ -191,4 +211,4 @@ def make_control_loop(
         return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
                           qp_primal_res=pres)
 
-    return loop
+    return jax.jit(loop)

@@ -176,7 +176,7 @@ class MaskedTick:
         self.kin = Kinematics(model)
         self.dtype = dtype
         self._J_bodies, self._points, self._task_slots = _plan_jacobians(model, cfg)
-        self._tick = jax.jit(self._tick_impl)
+        self._tick = jax.jit(self._tick_impl, static_argnames=("qp_iters",))
 
     # Static per-type masks over the 6-padded layouts.  Non-6D contacts are
     # 6D contacts with rows statically masked (the TPU-native form of the
@@ -209,7 +209,41 @@ class MaskedTick:
             out.append(jnp.concatenate([Z, F], axis=0))
         return out
 
-    def _tick_impl(self, q, qdot, fstars, contact_mask):
+    # ------------------------------------------------------ warm-start carry
+    def _level_dims(self):
+        """Static (nv, rows) of each QP in the masked tick, in call order —
+        padded shapes: cfree = 6·nc − 6 redistribution vars, 10 constraint
+        rows per candidate contact (inactive ones are ub=+inf-masked, not
+        removed).  Mirrors CompiledTick._level_dims."""
+        from . import types as T
+        cfg = self.cfg
+        m = self.model.model_dof
+        cfree = 6 * len(cfg.contacts) - 6
+        k = 10 * len(cfg.contacts)
+        lim_rows = 2 * m if cfg.torque_limit is not None else 0
+        dims = []
+        for level in cfg.task_specs:
+            t = sum(
+                6 if spec[0] in (T.TASK_LINK_6D, T.TASK_LINK_6D_COM_FRAME,
+                                 T.TASK_LINK_6D_CUSTOM_FRAME) else 3
+                for spec in level
+            )
+            dims.append((t + cfree, lim_rows + k))
+        dims.append((cfree, lim_rows + k))
+        return dims
+
+    def init_warm(self, batch=()):
+        """Cold-start warm state: one (x, λ) pair per QP in the tick (the
+        persistent hot-start solver analog, include/dwbc.h:222-228 — the
+        reference keeps one live CQuadraticProgram per hierarchy across
+        ticks; here the carry is explicit and batched)."""
+        return tuple(
+            (jnp.zeros(batch + (nv,), self.dtype), jnp.ones(batch + (rows,), self.dtype))
+            for nv, rows in self._level_dims()
+        )
+
+    def _tick_impl(self, q, qdot, fstars, contact_mask, warm=None,
+                   qp_iters=None, servos=None):
         cfg = self.cfg
         model = self.model
         m = model.model_dof
@@ -297,19 +331,28 @@ class MaskedTick:
         torque_contact = jnp.zeros(batch + (m,), dtype=self.dtype)
         gap = jnp.zeros(batch, dtype=self.dtype)
         pres = jnp.zeros(batch, dtype=self.dtype)
+        iters = cfg.qp_iters if qp_iters is None else qp_iters
+        warm_out = []
 
         prev_null = eye_m
         for h in range(len(cfg.task_specs)):
             J_task = self._task_jacobian(st, fk, h)
             tf = dyn.task_jkt(J_task, st.A_inv, cs.N_C, cs.W_inv)
             fstar = fstars[h]
+            if servos is not None and servos[h] is not None:
+                from .pipeline import _apply_servos
+                fstar = _apply_servos(
+                    self.model, cfg, self.dtype, st, h, fstar, servos[h]
+                )
             if cfg.use_hqp:
                 Ntorque = prev_null @ tf.J_kt @ tf.Lambda_task
                 res = solve_task_level_qp(
                     Ntorque, fstar, torque_grav + torque_task,
                     cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,
-                    iters=cfg.qp_iters, constraint_row_mask=crow_mask,
+                    iters=iters, constraint_row_mask=crow_mask,
+                    warm=None if warm is None else warm[h],
                 )
+                warm_out.append((res.x, res.lam))
                 torque_h = jnp.einsum(
                     "...mt,...t->...m", tf.J_kt @ tf.Lambda_task,
                     fstar + res.f_star_delta,
@@ -337,8 +380,10 @@ class MaskedTick:
             torque_input = torque_grav + torque_task + torque_contact
             sol = solve_contact_redistribution_qp(
                 torque_input, cs.NwJw, cs.J_C_INV_T, P_C, A_const, A_rot, tlim,
-                iters=cfg.qp_iters, constraint_row_mask=crow_mask,
+                iters=iters, constraint_row_mask=crow_mask,
+                warm=None if warm is None else warm[len(cfg.task_specs)],
             )
+            warm_out.append((sol.x, sol.lam))
             torque_contact = torque_contact + jnp.einsum(
                 "...mc,...c->...m", cs.NwJw, sol.x
             )
@@ -347,7 +392,7 @@ class MaskedTick:
 
         torque_cmd = torque_grav + torque_task + torque_contact
         cforce = dyn.contact_force_from_torque(torque_cmd, cs.J_C_INV_T, P_C)
-        return TickResult(
+        result = TickResult(
             torque_grav=torque_grav,
             torque_task=torque_task,
             torque_contact=torque_contact,
@@ -357,6 +402,9 @@ class MaskedTick:
             qp_primal_res=pres,
             contact_rank_health=cs.rank_health,
         )
+        if warm is not None:
+            return result, tuple(warm_out)
+        return result
 
     def _task_jacobian(self, st, fk, level: int):
         from .pipeline import _resolve_task_jacobian

@@ -194,11 +194,25 @@ def _plan_jacobians(model, cfg):
     (``points`` = contact points first, then custom-frame task points) the
     tick actually reads, plus per-level slots resolving each task spec to its
     jacobian source.  Declaring these lets ``Kinematics.update`` skip the
-    other ~nbody origin jacobians and fuse every point into one masked pass."""
-    points = [
-        (int(c.link), tuple(float(x) for x in np.asarray(c.contact_point)))
-        for c in cfg.contacts
-    ]
+    other ~nbody origin jacobians and fuse every point into one masked pass.
+
+    Repeated (link, point) pairs — a task point reused across levels, or one
+    equal to a contact point — resolve to the SAME fused-pass row (no
+    duplicate jacobian rows).  If the plan would narrow to every body anyway
+    (len(J_bodies) == nbody), J_bodies comes back as None → the update runs
+    un-narrowed in identity body order, so the downstream shape-based
+    narrowing detection (st.J.shape[-3] != nbody) can never silently index a
+    reordered array with raw body indices."""
+    points = []
+
+    def _point_slot(link, pt):
+        entry = (int(link), tuple(float(x) for x in np.asarray(pt)))
+        if entry not in points:
+            points.append(entry)
+        return points.index(entry)
+
+    for c in cfg.contacts:
+        _point_slot(c.link, c.contact_point)
     j_bodies: list[int] = []
     slots = []
     for level in cfg.task_specs:
@@ -212,14 +226,15 @@ def _plan_jacobians(model, cfg):
             elif point is not None and mode in (
                 T.TASK_LINK_6D_CUSTOM_FRAME, T.TASK_LINK_POSITION_CUSTOM_FRAME,
             ):
-                points.append((int(link), tuple(float(x) for x in point)))
-                lvl_slots.append(("pt", len(points) - 1))
+                lvl_slots.append(("pt", _point_slot(link, point)))
             else:
                 if int(link) not in j_bodies:
                     j_bodies.append(int(link))
                 lvl_slots.append(("J", (link, j_bodies.index(int(link)))))
         slots.append(tuple(lvl_slots))
-    return tuple(j_bodies), tuple(points), tuple(slots)
+    if len(j_bodies) >= model.nbody:
+        j_bodies = None  # narrowing buys nothing; keep identity order
+    return (None if j_bodies is None else tuple(j_bodies)), tuple(points), tuple(slots)
 
 
 def _resolve_task_jacobian(kin, model, cfg, task_slots, st, fk, level, dtype):
@@ -253,6 +268,59 @@ def _resolve_task_jacobian(kin, model, cfg, task_slots, st, fk, level, dtype):
         else:
             rows.append(J6[..., 3:6, :])
     return jnp.concatenate(rows, axis=-2)
+
+
+def _task_state(model, dtype, st, mode, link, point):
+    """Current (pos, vel, rot, w) of a task link for the servo."""
+    if link == model.nbody:
+        pos, vel = st.com_pos, st.com_vel
+        rot = jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), st.com_pos.shape[:-1] + (3, 3)
+        )
+        return pos, vel, rot, jnp.zeros_like(vel)
+    rot = st.R[..., link, :, :]
+    wvel = st.w[..., link, :]
+    if mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
+        r = st.com_w[..., link, :] - st.p[..., link, :]
+    elif point is not None:
+        r = jnp.einsum("...ij,j->...i", rot, jnp.asarray(point, dtype))
+    else:
+        r = jnp.zeros_like(wvel)
+    pos = st.p[..., link, :] + r
+    vel = st.v[..., link, :] + jnp.cross(wvel, r)
+    return pos, vel, rot, wvel
+
+
+def _apply_servos(model, cfg, dtype, st, level: int, fstar, servos_level):
+    """Replace f* rows whose task link carries a ServoParams with the
+    on-device trajectory-PD output (UpdateTaskSpace's fstar dispatch,
+    src/dwbc.cpp:685-793).  use_pos/use_rot blend per wrench half.
+    Shared by CompiledTick and MaskedTick."""
+    rows = []
+    off = 0
+    for spec, sp in zip(cfg.task_specs[level], servos_level):
+        mode, link, point = _parse_task_spec(spec)
+        nrows = 6 if mode in _SIX_MODES else 3
+        f_in = fstar[..., off : off + nrows]
+        off += nrows
+        if sp is None:
+            rows.append(f_in)
+            continue
+        pos, vel, rot, wvel = _task_state(model, dtype, st, mode, link, point)
+        f6 = servo_fstar(sp, pos, vel, rot, wvel)
+        up = sp.use_pos[..., None]
+        ur = sp.use_rot[..., None]
+        if mode in _SIX_MODES:
+            fp = up * f6[..., 0:3] + (1.0 - up) * f_in[..., 0:3]
+            fr = ur * f6[..., 3:6] + (1.0 - ur) * f_in[..., 3:6]
+            rows.append(jnp.concatenate(jnp.broadcast_arrays(fp, fr), axis=-1))
+        elif mode in _POS_MODES:
+            rows.append(up * f6[..., 0:3] + (1.0 - up) * f_in)
+        else:
+            rows.append(ur * f6[..., 3:6] + (1.0 - ur) * f_in)
+    batch = jnp.broadcast_shapes(*(r.shape[:-1] for r in rows))
+    rows = [jnp.broadcast_to(r, batch + r.shape[-1:]) for r in rows]
+    return jnp.concatenate(rows, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -334,54 +402,12 @@ class CompiledTick:
         )
 
     def _task_state(self, st, mode, link, point):
-        """Current (pos, vel, rot, w) of a task link for the servo."""
-        if link == self.model.nbody:
-            pos, vel = st.com_pos, st.com_vel
-            rot = jnp.broadcast_to(
-                jnp.eye(3, dtype=self.dtype), st.com_pos.shape[:-1] + (3, 3)
-            )
-            return pos, vel, rot, jnp.zeros_like(vel)
-        rot = st.R[..., link, :, :]
-        wvel = st.w[..., link, :]
-        if mode in (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME):
-            r = st.com_w[..., link, :] - st.p[..., link, :]
-        elif point is not None:
-            r = jnp.einsum("...ij,j->...i", rot, jnp.asarray(point, self.dtype))
-        else:
-            r = jnp.zeros_like(wvel)
-        pos = st.p[..., link, :] + r
-        vel = st.v[..., link, :] + jnp.cross(wvel, r)
-        return pos, vel, rot, wvel
+        return _task_state(self.model, self.dtype, st, mode, link, point)
 
     def _apply_servos(self, st, level: int, fstar, servos_level):
-        """Replace f* rows whose task link carries a ServoParams with the
-        on-device trajectory-PD output (UpdateTaskSpace's fstar dispatch,
-        src/dwbc.cpp:685-793).  use_pos/use_rot blend per wrench half."""
-        rows = []
-        off = 0
-        for spec, sp in zip(self.cfg.task_specs[level], servos_level):
-            mode, link, point = _parse_task_spec(spec)
-            nrows = 6 if mode in _SIX_MODES else 3
-            f_in = fstar[..., off : off + nrows]
-            off += nrows
-            if sp is None:
-                rows.append(f_in)
-                continue
-            pos, vel, rot, wvel = self._task_state(st, mode, link, point)
-            f6 = servo_fstar(sp, pos, vel, rot, wvel)
-            up = sp.use_pos[..., None]
-            ur = sp.use_rot[..., None]
-            if mode in _SIX_MODES:
-                fp = up * f6[..., 0:3] + (1.0 - up) * f_in[..., 0:3]
-                fr = ur * f6[..., 3:6] + (1.0 - ur) * f_in[..., 3:6]
-                rows.append(jnp.concatenate(jnp.broadcast_arrays(fp, fr), axis=-1))
-            elif mode in _POS_MODES:
-                rows.append(up * f6[..., 0:3] + (1.0 - up) * f_in)
-            else:
-                rows.append(ur * f6[..., 3:6] + (1.0 - ur) * f_in)
-        batch = jnp.broadcast_shapes(*(r.shape[:-1] for r in rows))
-        rows = [jnp.broadcast_to(r, batch + r.shape[-1:]) for r in rows]
-        return jnp.concatenate(rows, axis=-1)
+        return _apply_servos(
+            self.model, self.cfg, self.dtype, st, level, fstar, servos_level
+        )
 
     # ------------------------------------------------------ warm-start carry
     def _level_dims(self):

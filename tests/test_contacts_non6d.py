@@ -200,10 +200,13 @@ def test_line_contact_feet(tocabi_model):
               tuple(jnp.array(f) for f in fs), jnp.ones((B, 2)))
     # component-split parity: see _assert_cross_formulation (line contacts
     # leave a wide flat face in the contact block).  task_tol is looser here
-    # than elsewhere: with the cone rows weakly ACTIVE, the ε‖f_c‖²
-    # selection term couples δf* to the basis-dependent f_c coordinates
-    # (padded-masked vs static-5-row NwJw), so even the task block moves
-    # ~1% between the two formulations (measured 2.8e-2 abs / 0.9% rel).
+    # than elsewhere: the f_c Hessian block is exactly ZERO (no ε selection
+    # term — see wbc/hqp.py), so with the cone rows weakly ACTIVE the active
+    # constraints couple δf* to the basis-dependent f_c coordinates
+    # (padded-masked vs static-5-row NwJw): different points on the flat
+    # face imply slightly different δf* at equal objective to solver
+    # tolerance, so even the task block moves ~1% between the two
+    # formulations (measured 2.8e-2 abs / 0.9% rel).
     _assert_cross_formulation(mres, res, b=0, task_tol=5e-2, flat_tol=1e-1)
 
 

@@ -1,0 +1,142 @@
+"""MaskedTick warm-start + servo + loop support (VERDICT r2 item 3).
+
+The reference keeps one persistent hot-started CQuadraticProgram per QP it
+owns (/root/reference/include/dwbc.h:222-228) — including when the contact
+set changes.  Round 2 gave only CompiledTick the warm carry; this asserts
+the masked/hypothesis path has the same capability: warm ticks at the
+serving iteration budget match an independent cold full-budget solve, per
+scenario of a mixed contact-mode batch, and make_control_loop drives a
+MaskedTick directly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pytest
+
+from conftest import CASE_FSTAR, CASE_Q, full_q
+
+WARM_ITERS = 7
+
+
+@pytest.fixture(scope="module")
+def masked_tick(tocabi_model):
+    from libdwbc_tpu.wbc.masked import MaskedTick
+    from libdwbc_tpu.wbc.pipeline import standard_tocabi_config
+
+    cfg = standard_tocabi_config(tocabi_model, qp_iters=25)
+    return tocabi_model, MaskedTick(tocabi_model, cfg, dtype=jnp.float64)
+
+
+def test_masked_warm_tick_torque_parity(masked_tick):
+    """Chain warm masked ticks over drifting states (mixed contact modes in
+    one batch); compare each warm 7-iter torque against a cold 25-iter solve
+    at the same state.  Tolerance policy per CLAUDE.md: τ_grav tight,
+    τ_task ≤ 2e-3, τ_cmd spread confined to span(NwJw)."""
+    model, mt = masked_tick
+    f1, f2 = CASE_FSTAR[1]
+    B = 2
+    fstars = (
+        jnp.asarray(np.tile(f1, (B, 1)), jnp.float64),
+        jnp.asarray(np.tile(f2, (B, 1)), jnp.float64),
+    )
+    # scenario 0: double support; scenario 1: left-foot single support
+    cmask = jnp.asarray(np.array([[1.0, 1.0], [1.0, 0.0]]), jnp.float64)
+
+    rng = np.random.default_rng(11)
+    q = np.tile(full_q(CASE_Q[1]), (B, 1))
+    qd = np.zeros((B, model.ndof))
+
+    warm = mt.init_warm((B,))
+    res, warm = mt._tick_impl(
+        jnp.asarray(q), jnp.asarray(qd), fstars, cmask, warm=warm, qp_iters=25
+    )
+    worst_task = 0.0
+    for k in range(4):
+        q = q.copy()
+        q[:, 6:39] += 1e-3 * rng.standard_normal((B, 33))
+        res_w, warm = mt._tick_impl(
+            jnp.asarray(q), jnp.asarray(qd), fstars, cmask, warm=warm,
+            qp_iters=WARM_ITERS,
+        )
+        res_c = mt(q, qd, fstars, cmask)
+        assert float(np.asarray(res_w.qp_primal_res).max()) < 1e-8
+        assert float(np.asarray(res_w.qp_gap).max()) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(res_w.torque_grav), np.asarray(res_c.torque_grav),
+            atol=1e-10,
+        )
+        worst_task = max(worst_task, float(np.abs(
+            np.asarray(res_w.torque_task) - np.asarray(res_c.torque_task)
+        ).max()))
+        # τ_cmd spread must be a pure contact-force redistribution:
+        # in span(NwJw) per scenario (flat-face policy, CLAUDE.md)
+        from libdwbc_tpu.wbc import masked as mk
+
+        st = mt.kin.update(
+            jnp.asarray(q), jnp.asarray(qd),
+            J_bodies=mt._J_bodies, points=mt._points,
+        )
+        J_C = jnp.concatenate(
+            [st.J_pts[..., i, :, :] for i in range(len(mt.cfg.contacts))],
+            axis=-2,
+        )
+        row_mask = jnp.repeat(cmask, 6, axis=-1)
+        cs = mk.masked_contact_space(
+            J_C * row_mask[..., :, None], st.A_inv, row_mask
+        )
+        for b in range(B):
+            d_cmd = (
+                np.asarray(res_w.torque_cmd)[b] - np.asarray(res_c.torque_cmd)[b]
+            )
+            NwJw = np.asarray(cs.NwJw)[b]
+            z, *_ = np.linalg.lstsq(NwJw, d_cmd, rcond=None)
+            resid = np.abs(NwJw @ z - d_cmd).max()
+            # bound = the τ_task tolerance (CLAUDE.md policy ≤ 2e-3): the
+            # out-of-span component is exactly the grav+task discrepancy —
+            # for single support NwJw ≡ 0 and the residual IS the τ_task
+            # warm-vs-cold difference (measured 1.06e-3 at tick 1)
+            assert resid < 2e-3, (
+                f"tick {k} scen {b}: warm-cold τ spread leaves span(NwJw) "
+                f"by {resid:.2e}"
+            )
+    assert worst_task < 2e-3, f"masked warm-tick τ_task drift {worst_task:.2e}"
+
+
+def test_masked_loop_with_warm_and_fallback(masked_tick):
+    """make_control_loop drives a MaskedTick: warm loop with gap fallback
+    stays feasible; cold-budget loop agrees to the flat-face bound."""
+    from libdwbc_tpu.wbc.loop import make_control_loop
+
+    model, mt = masked_tick
+    f1, f2 = CASE_FSTAR[1]
+    B = 2
+    fstars = (
+        jnp.asarray(np.tile(f1, (B, 1)), jnp.float64),
+        jnp.asarray(np.tile(f2, (B, 1)), jnp.float64),
+    )
+    cmask = jnp.asarray(np.array([[1.0, 1.0], [1.0, 0.0]]), jnp.float64)
+    q = jnp.asarray(np.tile(full_q(CASE_Q[1]), (B, 1)))
+    qd = jnp.zeros((B, model.ndof), jnp.float64)
+
+    K = 3
+    loop_warm = make_control_loop(
+        mt, K=K, warm_start=True, warm_iters=WARM_ITERS, gap_fallback=1e-6
+    )
+    loop_full = make_control_loop(mt, K=K, warm_start=True, warm_iters=25)
+    r_w = loop_warm(q, qd, fstars, cmask)
+    r_f = loop_full(q, qd, fstars, cmask)
+    assert float(np.asarray(r_w.qp_primal_res).max()) < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(r_w.torques), np.asarray(r_f.torques), atol=5e-2
+    )
+
+    # a CompiledTick loop must reject a stray contact_mask
+    from libdwbc_tpu.wbc.pipeline import CompiledTick, standard_tocabi_config
+
+    tick = CompiledTick(
+        model, standard_tocabi_config(model, qp_iters=8), dtype=jnp.float64
+    )
+    loop_plain = make_control_loop(tick, K=2)
+    with pytest.raises(ValueError, match="contact_mask"):
+        loop_plain(q[0], qd[0], (jnp.zeros(6), jnp.zeros(3)), cmask[0])

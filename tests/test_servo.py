@@ -137,7 +137,7 @@ def test_on_device_swing_tracking_rollout(swing_setup):
         jnp.zeros(3, jnp.float64),
         jnp.zeros(6, jnp.float64),
     )
-    res = loop(jnp.asarray(q), jnp.asarray(qd), fstars, servos)
+    res = loop(jnp.asarray(q), jnp.asarray(qd), fstars, servos=servos)
     assert np.isfinite(np.asarray(res.torques)).all()
 
     st_end = tick.kin.update(res.q_final, res.qdot_final)
