@@ -27,8 +27,21 @@ def main():
     ap.add_argument("-B", "--batch-per-device", type=int, default=256)
     ap.add_argument("--devices", choices=["cpu", "native"], default="cpu")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host run: jax.distributed.initialize via the "
+                         "standard env (JAX_COORDINATOR_ADDRESS / TPU pod "
+                         "runtime), DCN-aware global ('hyp','roll') mesh, "
+                         "per-process local shards. Launch one copy of this "
+                         "script per host.")
     args = ap.parse_args()
 
+    if args.distributed:
+        import jax
+
+        from libdwbc_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+        return _run_distributed(args)
     if args.devices == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
@@ -94,6 +107,66 @@ def main():
             r["solves_per_sec"] / (base * r["devices"]), 3
         )
         print(json.dumps(r))
+
+
+def _run_distributed(args):
+    """Multi-host measurement: one global ('hyp','roll') mesh over every
+    process's devices; each process builds only its local scenario shard.
+    Per-host efficiency = global solves/s ÷ (hosts × single-host solves/s
+    measured the same way) — report the raw number here; compare runs at 1
+    and N hosts for the BASELINE ≥80% bar."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libdwbc_tpu.model.compile import RobotModel
+    from libdwbc_tpu.parallel.mesh import (
+        host_local_scenarios, make_global_mesh, sharded_batch_solver,
+    )
+    from libdwbc_tpu.wbc.pipeline import CompiledTick, standard_tocabi_config
+
+    model = RobotModel.load(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "models", "tocabi.npz")
+    )
+    cfg = standard_tocabi_config(model, qp_iters=8)
+    tick = CompiledTick(model, cfg, dtype=jnp.float32)
+    mesh = make_global_mesh()
+    step, _ = sharded_batch_solver(tick._tick_impl, mesh)
+
+    H = mesh.shape["hyp"]
+    R = mesh.shape["roll"] * args.batch_per_device
+    rng = np.random.default_rng(jax.process_index())
+    base_q = np.zeros(model.nq, np.float32)
+    base_q[2] = 0.92983
+    base_q[model.ndof] = 1.0
+    base_q[6:18] = np.array([0, 0, -0.24, 0.6, -0.36, 0] * 2, np.float32)
+
+    def make_local(hs, rs):
+        h = hs.stop - hs.start
+        r = (rs.stop - rs.start) * args.batch_per_device
+        qs = np.tile(base_q, (h, r, 1))
+        qs[..., 6:39] += 0.01 * rng.standard_normal((h, r, 33)).astype(np.float32)
+        qds = np.zeros((h, r, model.ndof), np.float32)
+        f0 = np.tile(np.array([0.1, 0.3, 0.1, 0, 0, 0], np.float32), (h, r, 1))
+        f1 = np.tile(np.array([0.05, 0, 0], np.float32), (h, r, 1))
+        return qs, qds, f0, f1
+
+    qs, qds, f0, f1 = host_local_scenarios(mesh, make_local)
+    res, best, cost = step(qs, qds, (f0, f1))
+    jax.block_until_ready(res.torque_cmd)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res, best, cost = step(qs, qds, (f0, f1))
+    jax.block_until_ready(res.torque_cmd)
+    dt = (time.perf_counter() - t0) / args.iters
+    if jax.process_index() == 0:
+        print(json.dumps(dict(
+            hosts=jax.process_count(),
+            devices=len(jax.devices()),
+            grid=[H, R],
+            solves_per_sec=round(H * R / dt, 1),
+        )))
 
 
 if __name__ == "__main__":

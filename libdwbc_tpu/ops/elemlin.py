@@ -1,0 +1,269 @@
+"""Element-leading linear algebra: the math core of the fused Pallas tick.
+
+Layout convention ("batch in lanes", same as ops/pallas_qp.py): every value
+has its *element indices leading* and the batch dimensions trailing —
+
+    matrix: (m, n, *bt)     vector: (n, *bt)     scalar: (*bt)
+
+Inside a Pallas kernel bt = (8, 128) (one VPU tile of 1024 scenarios);
+outside it bt is anything ((), (B,), ...), so THE SAME functions trace as a
+plain XLA graph — that is how the fused tick is parity-tested on CPU f64
+against the reference-validated pipeline before the kernel ever touches a
+TPU.
+
+Only ops Mosaic lowers reliably are used: elementwise arithmetic, leading-
+axis reductions (jnp.sum/min/max/argmax over axis 0/1), static slices,
+concatenate/stack on leading axes, and broadcasted_iota.  No einsums, no
+gather, no lax.linalg.
+
+Algorithms mirror ops/smallmat.py (the golden-validated unrolled kernels)
+transposed into this layout; numerics are identical up to summation order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------- products
+def mm(A, B):
+    """(m,k)+bt @ (k,n)+bt -> (m,n)+bt.  Loop over the contraction dim
+    (small everywhere in the tick); each term is a full-width VPU op."""
+    k = A.shape[1]
+    acc = A[:, 0][:, None] * B[0][None]
+    for i in range(1, k):
+        acc = acc + A[:, i][:, None] * B[i][None]
+    return acc
+
+
+def mmT(A, B):
+    """A @ Bᵀ: (m,k)+bt, (n,k)+bt -> (m,n)+bt."""
+    k = A.shape[1]
+    acc = A[:, 0][:, None] * B[:, 0][None]
+    for i in range(1, k):
+        acc = acc + A[:, i][:, None] * B[:, i][None]
+    return acc
+
+
+def mTm(A, B):
+    """Aᵀ @ B: (k,m)+bt, (k,n)+bt -> (m,n)+bt."""
+    k = A.shape[0]
+    acc = A[0][:, None] * B[0][None]
+    for i in range(1, k):
+        acc = acc + A[i][:, None] * B[i][None]
+    return acc
+
+
+def mv(A, x):
+    """(m,n)+bt @ (n,)+bt -> (m,)+bt — one reduction op."""
+    return jnp.sum(A * x[None], axis=1)
+
+
+def mTv(A, x):
+    """Aᵀ x: (m,n)+bt, (m,)+bt -> (n,)+bt."""
+    return jnp.sum(A * x[:, None], axis=0)
+
+
+def dot(a, b):
+    """(n,)+bt · (n,)+bt -> (*bt)."""
+    return jnp.sum(a * b, axis=0)
+
+
+def outer(a, b):
+    """(m,)+bt ⊗ (n,)+bt -> (m,n)+bt."""
+    return a[:, None] * b[None]
+
+
+def transpose(A):
+    """(m,n)+bt -> (n,m)+bt (swap the two leading dims)."""
+    return jnp.swapaxes(A, 0, 1)
+
+
+def cross(a, b):
+    """3-vector cross product on (3,)+bt operands."""
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ], axis=0)
+
+
+def eye(n, ref):
+    """(n,n)+bt identity whose batch dims match a reference (*bt) scalar."""
+    rows = []
+    z = jnp.zeros_like(ref)
+    o = jnp.ones_like(ref)
+    for i in range(n):
+        e = [z] * n
+        e[i] = o
+        rows.append(jnp.stack(e, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def const(x, bt_rank, dtype):
+    """Static numpy constant -> jnp array with `bt_rank` trailing singleton
+    batch dims, ready to broadcast against (elem...)+bt values."""
+    import numpy as np
+
+    a = jnp.asarray(np.asarray(x), dtype)
+    return a.reshape(a.shape + (1,) * bt_rank)
+
+
+# ------------------------------------------------------ factorizations
+def chol(M):
+    """Cholesky factor of (n,n)+bt SPD (lower), slice-vectorized
+    right-looking form — the elem-leading transpose of ops/smallmat.chol
+    (identical recurrence, pivots clamped at 1e-30)."""
+    n = M.shape[0]
+    S = M
+    cols = []
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(S[0, 0], 1e-30))
+        col = S[:, 0] / d[None]                      # (n-j,)+bt, col[0] = d
+        S = S[1:, 1:] - col[1:, None] * col[None, 1:]
+        if j:
+            col = jnp.concatenate(
+                [jnp.zeros((j,) + col.shape[1:], col.dtype), col], axis=0
+            )
+        cols.append(col)
+    return jnp.stack(cols, axis=1)                    # (n,n)+bt lower
+
+
+def solve_lower(L, B):
+    """L X = B, B (n,m)+bt (forward substitution, unrolled rows)."""
+    n = L.shape[0]
+    xs = []
+    for i in range(n):
+        acc = B[i]
+        for k in range(i):
+            acc = acc - L[i, k][None] * xs[k]
+        xs.append(acc / L[i, i][None])
+    return jnp.stack(xs, axis=0)
+
+
+def solve_lower_vec(L, b):
+    """L x = b, b (n,)+bt."""
+    n = L.shape[0]
+    xs = []
+    for i in range(n):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - L[i, k] * xs[k]
+        xs.append(acc / L[i, i])
+    return jnp.stack(xs, axis=0)
+
+
+def solve_upper_vec(U, b):
+    n = U.shape[0]
+    xs = [None] * n
+    for i in reversed(range(n)):
+        acc = b[i]
+        for k in range(i + 1, n):
+            acc = acc - U[i, k] * xs[k]
+        xs[i] = acc / U[i, i]
+    return jnp.stack(xs, axis=0)
+
+
+def cho_solve_vec(L, b):
+    """Solve L Lᵀ x = b for a vector b (n,)+bt."""
+    return solve_upper_vec(transpose(L), solve_lower_vec(L, b))
+
+
+def psd_inverse(M):
+    """(n,n)+bt SPD inverse: A⁻¹ = L⁻ᵀL⁻¹ (matches smallmat.psd_inverse)."""
+    n = M.shape[0]
+    L = chol(M)
+    Linv = solve_lower(L, eye(n, M[0, 0]))
+    return mTm(Linv, Linv)
+
+
+def chol_health(M):
+    """min(diag L)/max(diag L) ≈ sqrt(λmin/λmax) — the rank_health
+    indicator (wbc/dynamics._chol_health) in elem-leading form."""
+    L = chol(M)
+    d = jnp.abs(jnp.stack([L[i, i] for i in range(M.shape[0])], axis=0))
+    return jnp.min(d, axis=0) / jnp.maximum(jnp.max(d, axis=0), 1e-30)
+
+
+# -------------------------------------------------------- orthogonal ops
+def qr_thin(A, drop_tol=None):
+    """Thin QR of (m,k)+bt via double-pass MGS (mirror of smallmat.qr_thin:
+    same recurrence, same drop-tol semantics)."""
+    k = A.shape[1]
+    cols = []
+    for j in range(k):
+        v = A[:, j]
+        nrm0 = jnp.sqrt(dot(v, v))[None]
+        for q in cols:
+            v = v - dot(q, v)[None] * q
+        for q in cols:
+            v = v - dot(q, v)[None] * q
+        nrm = jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))[None]
+        if drop_tol is None:
+            cols.append(v / nrm)
+        else:
+            keep = nrm > drop_tol * jnp.maximum(nrm0, 1e-30)
+            cols.append(jnp.where(keep, v / nrm, 0.0))
+    return jnp.stack(cols, axis=1)
+
+
+def complete_basis(A):
+    """Orthonormal completion of col(A), A (m,k)+bt → (m,m)+bt whose first
+    k columns span col(A) (mirror of smallmat.complete_basis: greedy
+    residual-argmax selection via one-hot reduction — no gather)."""
+    m, k = A.shape[0], A.shape[1]
+    Q = qr_thin(A)
+    cols = [Q[:, j] for j in range(k)]
+    residuals = []
+    for j in range(m):
+        e = [jnp.zeros_like(A[0, 0])] * m
+        e[j] = jnp.ones_like(A[0, 0])
+        v = jnp.stack(e, axis=0)
+        for q in cols:
+            v = v - dot(q, v)[None] * q
+        residuals.append(v)
+    R = jnp.stack(residuals, axis=1)                   # (m, m)+bt candidates
+    chosen = []
+    for _ in range(m - k):
+        nrm = jnp.sum(R * R, axis=0)                    # (m,)+bt
+        # first-argmax one-hot via prefix products (no argmax/iota/gather —
+        # lowering-safe inside Mosaic, same selection as smallmat's argmax)
+        nmax = jnp.max(nrm, axis=0)
+        hit = (nrm >= nmax[None]).astype(A.dtype)
+        run = []
+        acc = jnp.ones_like(nmax)
+        for j in range(m):
+            run.append(acc * hit[j])
+            acc = acc * (1.0 - hit[j])
+        onehot = jnp.stack(run, axis=0)                 # (m,)+bt
+        v = jnp.sum(R * onehot[None], axis=1)           # selected column
+        v = v / jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))[None]
+        chosen.append(v)
+        R = R - v[:, None] * jnp.sum(v[:, None] * R, axis=0)[None]
+    return jnp.concatenate(
+        [jnp.stack(cols, axis=1), jnp.stack(chosen, axis=1)], axis=1
+    )
+
+
+def qr_pinv(M, rcond=1e-6):
+    """Thresholded pseudo-inverse of a small square (n,n)+bt matrix —
+    mirror of smallmat.qr_pinv (MGS QR, dead pivots zeroed)."""
+    n = M.shape[0]
+    Q = qr_thin(M, drop_tol=1e-7)
+    R = mTm(Q, M)
+    d = jnp.abs(jnp.stack([R[i, i] for i in range(n)], axis=0))  # (n,)+bt
+    dmax = jnp.max(d, axis=0)
+    live = (d > rcond * dmax[None])                     # (n,)+bt
+    liveM = live[:, None]
+    Rm = jnp.where(liveM, R, eye(n, M[0, 0]))
+    B = jnp.where(liveM, transpose(Q), 0.0)
+    # back substitution on the matrix RHS
+    n_ = n
+    xs = [None] * n_
+    for i in reversed(range(n_)):
+        acc = B[i]
+        for k in range(i + 1, n_):
+            acc = acc - Rm[i, k][None] * xs[k]
+        xs[i] = acc / Rm[i, i][None]
+    return jnp.stack(xs, axis=0)

@@ -72,3 +72,91 @@ def shard_scenarios(mesh: Mesh, *arrays):
     """Device-put (H,R,...) arrays with the ('hyp','roll') sharding."""
     sh = NamedSharding(mesh, P("hyp", "roll"))
     return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host entry point (BASELINE north star: ≥80% linear solves/s scaling
+# to 2+ hosts).  The reference has no distributed code at all (SURVEY.md
+# §2.2); this is the TPU-native scale-out axis: the same ('hyp','roll')
+# scenario mesh laid out so that the 'roll' axis crosses hosts (DCN) while
+# 'hyp' stays within each host's slice (ICI).  Per-scenario work never
+# communicates; the only cross-host traffic is the scalar argmin reduction
+# in sharded_batch_solver — ideal DCN behavior.
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize the JAX multi-process runtime (idempotent).
+
+    With no arguments, relies on the standard cluster env detection
+    (TPU pod runtime / JAX_COORDINATOR_ADDRESS & friends).  Safe to call in
+    a single-process run: if no cluster is configured and no coordinator is
+    given, it is a no-op returning False.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    env_configured = any(
+        k in __import__("os").environ
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if coordinator is None and num_processes is None and not env_configured:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def make_global_mesh(n_hyp: int | None = None):
+    """('hyp','roll') mesh over ALL processes' devices, DCN-aware.
+
+    Multi-host: 'roll' spans the process (DCN) dimension so each host owns
+    whole hypothesis columns; within a host, devices fill the ICI dimension.
+    Uses create_hybrid_device_mesh so the device order keeps DCN-crossing
+    hops on exactly one mesh axis.  Single-process: identical to
+    make_mesh().
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return make_mesh(n_hyp=n_hyp)
+    per_host = jax.local_device_count()
+    if n_hyp is None:
+        n_hyp = per_host  # hypotheses within a host, rollouts across hosts
+    assert per_host % n_hyp == 0, (n_hyp, per_host)
+    dev_mesh = mesh_utils.create_hybrid_device_mesh(
+        (n_hyp, per_host // n_hyp), (1, nproc), devices=jax.devices()
+    )
+    return Mesh(dev_mesh, ("hyp", "roll"))
+
+
+def host_local_scenarios(mesh: Mesh, make_local):
+    """Build global (H, R, ...) arrays from per-process local shards.
+
+    make_local(h_slice, r_slice) -> tuple of np arrays for THIS process's
+    block of the global scenario grid (each (h_len, r_len, ...)).  Returns
+    globally-sharded jax.Arrays — the multi-host-safe replacement for
+    shard_scenarios (which device_puts full arrays and only works when every
+    process holds the whole grid).
+    """
+    sh = NamedSharding(mesh, P("hyp", "roll"))
+    H = mesh.shape["hyp"]
+    R = mesh.shape["roll"]
+
+    # this process's index block: derive from its local devices' positions
+    local_devs = set(jax.local_devices())
+    coords = np.argwhere(
+        np.vectorize(lambda d: d in local_devs)(mesh.devices)
+    )
+    h0, r0 = coords.min(axis=0)
+    h1, r1 = coords.max(axis=0) + 1
+    locals_ = make_local(slice(int(h0), int(h1)), slice(int(r0), int(r1)))
+
+    def to_global(a):
+        a = np.asarray(a)
+        gshape = (H * a.shape[0] // (h1 - h0), R * a.shape[1] // (r1 - r0)) + a.shape[2:]
+        return jax.make_array_from_process_local_data(sh, a, gshape)
+
+    return tuple(to_global(a) for a in locals_)

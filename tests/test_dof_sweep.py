@@ -22,6 +22,11 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(DOF_DIR), reason="reference dof_test URDFs not present"
 )
 
+ALL_DOFS = sorted(
+    int(os.path.basename(u)[len("dyros_tocabi_dof"):-len(".urdf")])
+    for u in glob.glob(os.path.join(DOF_DIR, "dyros_tocabi_dof*.urdf"))
+)
+
 
 def _build(urdf):
     import jax.numpy as jnp
@@ -77,3 +82,52 @@ def test_full_vs_reduced_noqp_parity(dof):
     scale = max(np.abs(tau_full).max(), 1.0)
     assert np.abs(tau_full - tau_red).max() / scale < 1e-8
     assert np.isfinite(tau_red).all()
+
+
+@pytest.mark.parametrize("dof", ALL_DOFS)
+def test_full_vs_reduced_hqp_parity(dof):
+    """QPs-ON full-vs-reduced parity across the complete 28-member topology
+    family (tests/dof_test/dyros_tocabi_dof18..45.urdf), asserting the
+    repo's own tolerance policy (CLAUDE.md):
+
+    * τ_grav: pre-QP linear algebra → 1e-8;
+    * τ_task: unit-Hessian δf* block → 2e-3;
+    * Δτ_cmd out-of-span(NwJw): the only command disagreement allowed is a
+      pure in-span contact-force redistribution (zero task-space effect) —
+      the reference's ≈0 similarity expectation (redu_dyn_test.cpp:324-326)
+      up to the documented flat-face indeterminacy.
+
+    Like-for-like objectives on both sides (tangential_weight=False — the
+    reduced path's tangential-weighted redistribution differs by design,
+    in-span only; see benchmarks/dof_sweep.py)."""
+    urdf = os.path.join(DOF_DIR, f"dyros_tocabi_dof{dof}.urdf")
+    rd = _build(urdf)
+
+    rd.CalcContactConstraint()
+    rd.CalcGravCompensation()
+    rd.CalcTaskControlTorque(hqp=True)
+    rd.CalcContactRedistribute(hqp=True)
+    tau_full = np.asarray(rd.torque_command())
+    tg_full = np.asarray(rd.torque_grav_)
+    tt_full = np.asarray(rd.torque_task_)
+    NwJw = np.asarray(rd.cspace.NwJw)
+
+    rd.ReducedDynamicsCalculate()
+    rd.ReducedCalcContactConstraint()
+    rd.ReducedCalcGravCompensation()
+    rd.ReducedCalcTaskControlTorque(hqp=True)
+    rd.ReducedCalcContactRedistribute(hqp=True, tangential_weight=False)
+    tau_red = np.asarray(rd.torque_command())
+    tg_red = np.asarray(rd.torque_grav_)
+    tt_red = np.asarray(rd.torque_task_)
+
+    assert np.isfinite(tau_red).all() and np.isfinite(tau_full).all()
+    assert np.abs(tg_full - tg_red).max() < 1e-8
+    assert np.abs(tt_full - tt_red).max() < 2e-3
+    dtau = tau_full - tau_red
+    coef, *_ = np.linalg.lstsq(NwJw, dtau, rcond=None)
+    out_of_span = np.linalg.norm(dtau - NwJw @ coef)
+    assert out_of_span < 5e-3, (
+        f"dof{dof}: ‖Δτ_cmd‖={np.linalg.norm(dtau):.3e}, "
+        f"out-of-span(NwJw) part {out_of_span:.3e}"
+    )

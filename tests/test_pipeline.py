@@ -107,3 +107,47 @@ def test_sharded_scenario_grid(tocabi_model):
     assert res.torque_cmd.shape == (H, R, 33)
     assert np.isfinite(float(best_cost))
     assert 0 <= int(best) < H * R
+
+
+def test_multihost_entry_single_process(tocabi_model):
+    """Multi-host entry machinery in the 1-process case: make_global_mesh
+    falls back to the local mesh and host_local_scenarios builds the global
+    arrays via make_array_from_process_local_data (the code path a real
+    2-host launch runs, minus DCN).  benchmarks/scaling.py --distributed
+    drives exactly these helpers."""
+    from libdwbc_tpu.parallel.mesh import (
+        host_local_scenarios, init_distributed, make_global_mesh,
+        sharded_batch_solver,
+    )
+    from libdwbc_tpu.wbc.pipeline import CompiledTick, standard_tocabi_config
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    # no coordinator configured → must be a no-op, not a hang/crash
+    assert init_distributed() is False
+    mesh = make_global_mesh()
+    assert set(mesh.axis_names) == {"hyp", "roll"}
+
+    cfg = standard_tocabi_config(tocabi_model, qp_iters=8)
+    tick = CompiledTick(tocabi_model, cfg, dtype=jnp.float32)
+    step, _ = sharded_batch_solver(tick._tick_impl, mesh)
+
+    H = mesh.shape["hyp"]
+    R = mesh.shape["roll"]
+    q = full_q(CASE_Q[1]).astype(np.float32)
+    f1, f2 = CASE_FSTAR[1]
+
+    def make_local(hs, rs):
+        h, r = hs.stop - hs.start, rs.stop - rs.start
+        return (
+            np.tile(q, (h, r, 1)),
+            np.zeros((h, r, 39), np.float32),
+            np.tile(f1, (h, r, 1)).astype(np.float32),
+            np.tile(f2, (h, r, 1)).astype(np.float32),
+        )
+
+    qs, qds, f0g, f1g = host_local_scenarios(mesh, make_local)
+    assert qs.shape == (H, R, 40)
+    res, best, best_cost = step(qs, qds, (f0g, f1g))
+    assert res.torque_cmd.shape == (H, R, 33)
+    assert np.isfinite(float(best_cost))

@@ -64,6 +64,63 @@ def test_masked_health_matches_unmasked_active_block():
     )
 
 
+def test_threshold_separates_good_from_garbage():
+    """Calibration guard (benchmarks/rank_health_calib.py): on the
+    near-duplicate-contact continuum J2(α) = (1-α)J2 + αJ1 over the REAL
+    Tocabi double-support geometry, a config whose f32 health clears the
+    façade threshold must produce f32 torques within ~1% of f64 truth, and
+    a config below it must not (measured law: err ≈ ε_dtype/health²).
+    Fails if the indicator or the threshold stops separating the two."""
+    from conftest import URDF
+    from libdwbc_tpu.kin.engine import FK, Kinematics
+    from libdwbc_tpu.model.compile import compile_urdf
+    from libdwbc_tpu.wbc.dynamics import contact_space, gravity_compensation
+    from libdwbc_tpu.wbc.robot import RobotData
+
+    model = compile_urdf(URDF, floating=True)
+    kin = Kinematics(model)
+    q = np.zeros(model.nq)
+    q[2] = 0.92983
+    q[model.ndof] = 1.0
+    q[6:18] = [0.0, 0.0, -0.24, 0.6, -0.36, 0.0] * 2
+    st = kin.update(jnp.asarray(q), jnp.zeros(model.ndof))
+    fk = FK(R=st.R, p=st.p,
+            axis_w=jnp.einsum("bij,bj->bi", st.R, jnp.asarray(model.axis)),
+            com_w=st.com_w)
+    pt = jnp.asarray([0.03, 0.0, -0.1585])
+    J1 = np.asarray(kin.frame_point_jacobian(fk, 6, pt))
+    J2 = np.asarray(kin.frame_point_jacobian(fk, 12, pt))
+    A_inv64, G64 = np.asarray(st.A_inv), np.asarray(st.G)
+    thresh = RobotData.RANK_HEALTH_THRESHOLD_F32
+
+    def run(alpha, dtype):
+        Jc = jnp.asarray(
+            np.concatenate([J1, (1 - alpha) * J2 + alpha * J1], axis=0), dtype
+        )
+        cs = contact_space(Jc, jnp.asarray(A_inv64, dtype))
+        tg, _ = gravity_compensation(
+            jnp.asarray(A_inv64, dtype), cs.W_inv, cs.N_C, cs.J_C_INV_T,
+            jnp.asarray(G64, dtype),
+        )
+        return float(np.asarray(cs.rank_health)), np.asarray(tg, np.float64)
+
+    # healthy side: double support (α=0) and a mildly-degraded point
+    for alpha in (0.0, 0.9):
+        h32, tg32 = run(alpha, jnp.float32)
+        _, tg64 = run(alpha, jnp.float64)
+        assert h32 > thresh, f"α={alpha}: healthy config flagged ({h32:.2e})"
+        relerr = np.linalg.norm(tg32 - tg64) / np.linalg.norm(tg64)
+        assert relerr < 1e-2, f"α={alpha}: {relerr:.2e}"
+
+    # garbage side: near-duplicate contact — must be flagged, and the f32
+    # result there really is garbage (that is WHY it must be flagged)
+    h32_bad, tg32_bad = run(0.9957, jnp.float32)
+    _, tg64_bad = run(0.9957, jnp.float64)
+    assert h32_bad < thresh, f"degenerate config passed ({h32_bad:.2e})"
+    relerr_bad = np.linalg.norm(tg32_bad - tg64_bad) / np.linalg.norm(tg64_bad)
+    assert not np.isfinite(relerr_bad) or relerr_bad > 1e-2
+
+
 def test_facade_returns_zero_on_degenerate_contact_set():
     """Numeric analog of CalcContactConstraint's int status: two 6D
     contacts on ADJACENT bodies (one revolute joint between them — jacobian
