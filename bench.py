@@ -65,7 +65,10 @@ def main():
     rtt = _rtt(jax, jnp)
 
     B = 1024
-    K = 8  # tick 0 cold (12 iters) + K-1 warm ticks; amortizes the cold start
+    # tick 0 cold (12 iters) + K-1 warm ticks; K must put the chain's device
+    # time well above the tunnel-RTT jitter (the fused tick runs ~0.3 ms —
+    # at K=8 the whole chain vanished under the ~30 ms RTT noise)
+    K = int(os.environ.get("DWBC_BENCH_K", "64"))
     rng = np.random.default_rng(0)
     qs = np.tile(q, (B, 1)).astype(np.float32)
     qs[:, 6:39] += 0.02 * rng.standard_normal((B, 33)).astype(np.float32)
@@ -131,6 +134,51 @@ def main():
             jax, jnp, tick, model, q, qd, fstars, rtt, WARM_ITERS
         )
 
+    # Hardware torque-truth guard (round 3): the SAME tick on the CPU
+    # backend for a few scenarios — catches silent numeric corruption of
+    # the accelerator path (this is how the bf16-default-matmul bug that
+    # skewed τ by up to 119 Nm was caught; see libdwbc_tpu/__init__.py).
+    tau_truth = None
+    if os.environ.get("DWBC_BENCH_TRUTH", "1") == "1":
+        try:
+            cpu = jax.devices("cpu")[0]
+            nchk = 4
+            # CPU side: the INDEPENDENT XLA formulation (CompiledTick) with
+            # its TPU-kernel routing gated off — a genuine cross-check, not
+            # the same program twice
+            os.environ["DWBC_PALLAS_LINALG"] = "0"
+            os.environ["DWBC_PALLAS_QP"] = "0"
+            try:
+                _, tick_cpu = ge._model_and_tick(qp_iters=12, fused=False)
+                args_cpu = (
+                    jax.device_put(qs[:nchk], cpu),
+                    jax.device_put(qds[:nchk], cpu),
+                    tuple(jax.device_put(np.asarray(f)[:nchk], cpu) for f in fs),
+                )
+                r_cpu = tick_cpu._tick_impl(*args_cpu, qp_iters=12)
+                jax.block_until_ready(r_cpu.torque_cmd)
+            finally:
+                os.environ.pop("DWBC_PALLAS_LINALG", None)
+                os.environ.pop("DWBC_PALLAS_QP", None)
+            r_dev = tick._tick_impl(
+                jax.device_put(qs[:nchk]), jax.device_put(qds[:nchk]),
+                tuple(jax.device_put(np.asarray(f)[:nchk]) for f in fs),
+                qp_iters=12,
+            )
+            dg = float(np.abs(np.asarray(r_cpu.torque_grav)
+                              - np.asarray(r_dev.torque_grav)).max())
+            dc = float(np.abs(np.asarray(r_cpu.torque_cmd)
+                              - np.asarray(r_dev.torque_cmd)).max())
+            tau_truth = {"tau_grav_vs_cpu": round(dg, 6),
+                         "tau_cmd_vs_cpu": round(dc, 6)}
+            # τ_grav is pre-QP linear algebra: anything beyond f32 roundoff
+            # means the accelerator path is numerically corrupt
+            assert dg < 0.05, f"device torque_grav diverges from CPU: {dg}"
+        except AssertionError:
+            raise
+        except Exception as e:  # no CPU backend in some deployments
+            tau_truth = {"truth_guard_error": str(e)[:120]}
+
     print(
         json.dumps(
             {
@@ -146,6 +194,7 @@ def main():
                 "single_lane_ms_p99": single_lane[1],
                 "qp_gap_max": float(np.asarray(diag[0]).max()),
                 "qp_primal_res_max": float(np.asarray(diag[1]).max()),
+                **(tau_truth or {}),
             }
         )
     )

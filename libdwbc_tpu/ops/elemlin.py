@@ -103,11 +103,111 @@ def eye(n, ref):
 
 def const(x, bt_rank, dtype):
     """Static numpy constant -> jnp array with `bt_rank` trailing singleton
-    batch dims, ready to broadcast against (elem...)+bt values."""
+    batch dims, ready to broadcast against (elem...)+bt values.
+
+    NOT usable inside a Pallas kernel (captured array constants are
+    rejected); kernels use the static-operand helpers below, which embed
+    constants as Python scalars and skip structural zeros."""
     import numpy as np
 
     a = jnp.asarray(np.asarray(x), dtype)
     return a.reshape(a.shape + (1,) * bt_rank)
+
+
+# ------------------------------------------------- static-operand products
+# One operand is a host-side numpy constant: its entries become Python
+# scalar literals in the traced program (Pallas-safe — nothing captured)
+# and exact zeros/ones cost nothing.  These carry most of the FK/CRBA
+# constants (joint axes, X_T transforms, inertia tensors, constraint
+# blocks), which are extremely sparse.
+
+def _zl(x):
+    return jnp.zeros_like(x)
+
+
+def mv_ds(A, b_np):
+    """dynamic (m,n)+bt @ static (n,) -> (m,)+bt."""
+    acc = None
+    for k in range(len(b_np)):
+        v = float(b_np[k])
+        if v == 0.0:
+            continue
+        t = A[:, k] if v == 1.0 else A[:, k] * v
+        acc = t if acc is None else acc + t
+    return _zl(A[:, 0]) if acc is None else acc
+
+
+def mm_ds(A, B_np):
+    """dynamic (m,k)+bt @ static (k,n) -> (m,n)+bt."""
+    return jnp.stack(
+        [mv_ds(A, B_np[:, j]) for j in range(B_np.shape[1])], axis=1
+    )
+
+
+def vec_sd(A_np_row, xs):
+    """static row (k,) · list of k (*bt) scalars -> (*bt)."""
+    acc = None
+    for k, x in enumerate(xs):
+        v = float(A_np_row[k])
+        if v == 0.0:
+            continue
+        t = x if v == 1.0 else x * v
+        acc = t if acc is None else acc + t
+    return _zl(xs[0]) if acc is None else acc
+
+
+def mv_sd(A_np, x):
+    """static (m,n) @ dynamic (n,)+bt -> (m,)+bt."""
+    rows = []
+    for i in range(A_np.shape[0]):
+        acc = None
+        for k in range(A_np.shape[1]):
+            v = float(A_np[i, k])
+            if v == 0.0:
+                continue
+            t = x[k] if v == 1.0 else x[k] * v
+            acc = t if acc is None else acc + t
+        rows.append(_zl(x[0]) if acc is None else acc)
+    return jnp.stack(rows, axis=0)
+
+
+def mm_sd(A_np, B):
+    """static (m,k) @ dynamic (k,n)+bt -> (m,n)+bt."""
+    rows = []
+    for i in range(A_np.shape[0]):
+        acc = None
+        for k in range(A_np.shape[1]):
+            v = float(A_np[i, k])
+            if v == 0.0:
+                continue
+            t = B[k] if v == 1.0 else B[k] * v
+            acc = t if acc is None else acc + t
+        rows.append(_zl(B[0]) if acc is None else acc)
+    return jnp.stack(rows, axis=0)
+
+
+def svec(vals, zero):
+    """static 1-D values -> (n,)+bt array built by arithmetic on a traced
+    zero scalar (Pallas-safe constant vector)."""
+    return jnp.stack(
+        [zero + float(v) if float(v) != 0.0 else zero for v in vals], axis=0
+    )
+
+
+def smat(M_np, zero):
+    """static 2-D values -> (m,n)+bt (Pallas-safe constant matrix)."""
+    return jnp.stack([svec(row, zero) for row in M_np], axis=0)
+
+
+def diag_add(M, vals):
+    """M + diag(vals): vals is a list of (*bt) scalars or floats."""
+    n = M.shape[0]
+    rows = []
+    for i in range(n):
+        row = [M[i, j] for j in range(n)]
+        row[i] = row[i] + vals[i]
+        rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(rows, axis=0)
 
 
 # ------------------------------------------------------ factorizations
@@ -121,7 +221,12 @@ def chol(M):
     for j in range(n):
         d = jnp.sqrt(jnp.maximum(S[0, 0], 1e-30))
         col = S[:, 0] / d[None]                      # (n-j,)+bt, col[0] = d
-        S = S[1:, 1:] - col[1:, None] * col[None, 1:]
+        # NB Mosaic: col[1:, None] (slice+newaxis in ONE getitem) lowers to
+        # a gather, and the last column's empty update would create 0-sized
+        # vectors — split the getitems and skip the empty trailing block
+        if j < n - 1:
+            ctail = col[1:]
+            S = S[1:, 1:] - ctail[:, None] * ctail[None]
         if j:
             col = jnp.concatenate(
                 [jnp.zeros((j,) + col.shape[1:], col.dtype), col], axis=0

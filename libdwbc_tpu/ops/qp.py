@@ -64,6 +64,10 @@ def _pallas_eligible(H, g, A, lb, ub, Aeq, backend) -> bool:
     small variable count, and a real leading batch dimension (the kernel
     pads to 1024-scenario tiles — single problems would waste a full tile
     unless explicitly forced)."""
+    import os
+
+    if os.environ.get("DWBC_PALLAS_QP", "1") == "0":
+        return False
     if lb is not None or Aeq is not None:
         return False
     if H.dtype != jnp.float32:

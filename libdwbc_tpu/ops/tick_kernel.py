@@ -181,20 +181,15 @@ class TickProgram:
         if self.cfree > 0:
             self.qp_dims.append((self.cfree, lim_rows + self.k_rows))
 
-    # ------------------------------------------------------------ helpers
-    def _c(self, x, bt_rank):
-        return el.const(x, bt_rank, self.dtype)
-
-    def _vec(self, vals3, z):
-        """3-vector (3,)+bt from static floats, batch dims from scalar z."""
-        return jnp.stack([z + float(v) for v in vals3], axis=0)
-
     # ----------------------------------------------------------- prestage
     def prestage(self, q):
-        """q (nq,)+bt → dict of everything the QP chain + result need."""
-        br = q.ndim - 1
+        """q (nq,)+bt → dict of everything the QP chain + result need.
+
+        Pallas-safe: all static model data enters as Python scalar literals
+        (elemlin's *_ds/*_sd/svec helpers) — no captured array constants —
+        and structural zeros in axes/transforms/constraint blocks cost
+        nothing."""
         dtype = q.dtype
-        C = lambda x: el.const(x, br, dtype)
         zero = q[0] * 0.0
 
         # ---------------- FK (mirror of kin/engine.py::fk)
@@ -212,34 +207,51 @@ class TickProgram:
         ], axis=0)
         p0 = q[0:3]
 
+        def rodrigues(a, c_, s_):
+            """c·I + s·K + (1-c)aaᵀ with STATIC axis a
+            (kin/rotations.py:95-103); zero entries skipped."""
+            K = np.array([[0.0, -a[2], a[1]], [a[2], 0.0, -a[0]],
+                          [-a[1], a[0], 0.0]])
+            aaT = np.outer(a, a)
+            omc = 1.0 - c_
+            rows = []
+            for i in range(3):
+                row = []
+                for j in range(3):
+                    acc = None
+                    if i == j:
+                        acc = c_
+                    if K[i, j] != 0.0:
+                        t = s_ * float(K[i, j])
+                        acc = t if acc is None else acc + t
+                    if aaT[i, j] != 0.0:
+                        t = omc * float(aaT[i, j])
+                        acc = t if acc is None else acc + t
+                    row.append(zero if acc is None else acc)
+                rows.append(jnp.stack(row, axis=0))
+            return jnp.stack(rows, axis=0)
+
         R = [R0]
         p = [p0]
         axis_w = [jnp.stack([zero, zero, zero], axis=0)]
-        com_w = [p0 + el.mv(R0, C(self.com[0]))]
+        com_w = [p0 + el.mv_ds(R0, self.com[0])]
         for i in range(1, self.nbody):
             par = self.parent[i]
             qi = q[self.q_index[i]]
-            a = self.axis[i]
-            c_, s_ = jnp.cos(qi), jnp.sin(qi)
-            K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
-            aaT = np.outer(a, a)
-            eye3 = np.eye(3)
-            # Rodrigues: Rj = c·I + s·K + (1-c)aaᵀ  (kin/rotations.py:95-103)
-            Rj = (c_[None, None] * C(eye3) + s_[None, None] * C(K)
-                  + (1.0 - c_)[None, None] * C(aaT))
-            Ri = el.mm(R[par], el.mm(C(self.X_rot[i]), Rj))
-            pi = p[par] + el.mv(R[par], C(self.X_trans[i]))
+            Rj = rodrigues(self.axis[i], jnp.cos(qi), jnp.sin(qi))
+            Ri = el.mm(R[par], el.mm_sd(self.X_rot[i], Rj))
+            pi = p[par] + el.mv_ds(R[par], self.X_trans[i])
             R.append(Ri)
             p.append(pi)
-            axis_w.append(el.mv(Ri, C(a)))
-            com_w.append(pi + el.mv(Ri, C(self.com[i])))
+            axis_w.append(el.mv_ds(Ri, self.axis[i]))
+            com_w.append(pi + el.mv_ds(Ri, self.com[i]))
 
         # ---------------- dof frames (kin/engine.py::_dof_frames)
         ax_cols, og_cols = [], []
         for k in range(3):
             e = [0.0, 0.0, 0.0]
             e[k] = 1.0
-            ax_cols.append(self._vec(e, zero))
+            ax_cols.append(el.svec(e, zero))
             og_cols.append(p0)
         for k in range(3):
             ax_cols.append(R0[:, k])
@@ -250,14 +262,22 @@ class TickProgram:
             og_cols.append(p[b])
         ax = jnp.stack(ax_cols, axis=1)                 # (3, ndof)+bt
         og = jnp.stack(og_cols, axis=1)
-        is_trans = np.zeros(self.ndof)
-        is_trans[0:3] = 1.0
 
         # ---------------- point jacobians (one per planned point)
+        # base-translation dofs (cols 0:3) are pure linear (jv = axis,
+        # jw = 0); every other dof is revolute — handled by column splits
+        # instead of an is_trans mask
+        mask_cache = {}
+
+        def link_mask(link):
+            if link not in mask_cache:
+                mask_cache[link] = el.svec(self.amask[link], zero)
+            return mask_cache[link]
+
         J_pts = []
         for link, pt in self._points:
             if any(pt):
-                pw = p[link] + el.mv(R[link], C(np.asarray(pt)))
+                pw = p[link] + el.mv_ds(R[link], np.asarray(pt))
             else:
                 pw = p[link]
             rel = pw[:, None] - og                       # (3, ndof)+bt
@@ -266,41 +286,43 @@ class TickProgram:
                 ax[2] * rel[0] - ax[0] * rel[2],
                 ax[0] * rel[1] - ax[1] * rel[0],
             ], axis=0)
-            it = C(is_trans)[None]                       # (1, ndof, 1…)
-            jv = jnp.where(it > 0.5, ax, jvr)
-            jw = jnp.where(it > 0.5, 0.0, ax)
-            mask = C(self.amask[link])[None]
+            jv = jnp.concatenate([ax[:, 0:3], jvr[:, 3:]], axis=1)
+            jw = jnp.concatenate([ax[:, 0:3] * 0.0, ax[:, 3:]], axis=1)
+            mask = link_mask(link)[None]
             J_pts.append(jnp.concatenate([jv * mask, jw * mask], axis=0))
 
         # ---------------- mass matrix: world-origin composite rigid body
-        IC = []
+        IC = [None] * self.nbody
         for i in range(self.nbody):
-            Icm = el.mm(el.mm(R[i], C(self.inertia[i])), el.transpose(R[i]))
-            c3 = com_w[i]
             mi = float(self.mass[i])
+            if mi == 0.0 and not self.inertia[i].any():
+                continue                                  # massless pseudo-body
+            Icm = el.mmT(el.mm_ds(R[i], self.inertia[i]), R[i])
+            c3 = com_w[i]
             cc = el.dot(c3, c3)
             # I_ang = Icm + m(|c|²I − ccᵀ)
-            I_ang = Icm + mi * (cc[None, None] * C(np.eye(3)) - el.outer(c3, c3))
+            I_ang = el.diag_add(Icm - mi * el.outer(c3, c3),
+                                [mi * cc, mi * cc, mi * cc])
             chat = jnp.stack([
                 jnp.stack([zero, -c3[2], c3[1]], axis=0),
                 jnp.stack([c3[2], zero, -c3[0]], axis=0),
                 jnp.stack([-c3[1], c3[0], zero], axis=0),
             ], axis=0)
+            mEye = el.smat(mi * np.eye(3), zero)
             top = jnp.concatenate([I_ang, mi * chat], axis=1)
-            bot = jnp.concatenate(
-                [-mi * chat, mi * (zero[None, None] + C(np.eye(3)))], axis=1
-            )
-            IC.append(jnp.concatenate([top, bot], axis=0))  # (6,6)+bt
+            bot = jnp.concatenate([-mi * chat, mEye], axis=1)
+            IC[i] = jnp.concatenate([top, bot], axis=0)   # (6,6)+bt
         for i in range(self.nbody - 1, 0, -1):
-            IC[self.parent[i]] = IC[self.parent[i]] + IC[i]
+            if IC[i] is None:
+                continue
+            par = self.parent[i]
+            IC[par] = IC[i] if IC[par] is None else IC[par] + IC[i]
 
         def S_of_dof(j):
             if j < 3:
-                e = [0.0, 0.0, 0.0]
-                e[j] = 1.0
-                return jnp.concatenate(
-                    [self._vec([0, 0, 0], zero), self._vec(e, zero)], axis=0
-                )
+                e = [0.0] * 6
+                e[3 + j] = 1.0
+                return el.svec(e, zero)
             a3 = ax[:, j]
             o3 = og[:, j]
             return jnp.concatenate([a3, el.cross(o3, a3)], axis=0)
@@ -308,6 +330,8 @@ class TickProgram:
         S = [S_of_dof(j) for j in range(self.ndof)]
         A_entries = {}
         for j in range(self.ndof):
+            if IC[self.owner[j]] is None:
+                continue                                  # massless subtree
             f = el.mv(IC[self.owner[j]], S[j])           # (6,)+bt
             for i in self.anc_dofs[j]:
                 if i <= j:
@@ -322,7 +346,13 @@ class TickProgram:
         A = jnp.stack(rows, axis=0)                      # (ndof, ndof)+bt
 
         # gravity vector: G = −A[0:3,:]ᵀ g  (see module docstring)
-        G = -el.mTv(A[0:3], C(self.gravity))
+        G = None
+        for i in range(3):
+            gi = float(self.gravity[i])
+            if gi == 0.0:
+                continue
+            t = A[i] * (-gi)
+            G = t if G is None else G + t
 
         A_inv = el.psd_inverse(A)
 
@@ -435,15 +465,14 @@ class TickProgram:
             if c.contact_type == T.CONTACT_6D:
                 # A_rot = RT ⊕ RT; CM_i = blk @ A_rot: split columns
                 CMi = jnp.concatenate(
-                    [el.mm(C(blk[:, 0:3]), RT), el.mm(C(blk[:, 3:6]), RT)],
+                    [el.mm_sd(blk[:, 0:3], RT), el.mm_sd(blk[:, 3:6], RT)],
                     axis=1,
                 )
             elif c.contact_type == T.CONTACT_POINT:
-                CMi = el.mm(C(blk), RT)
+                CMi = el.mm_sd(blk, RT)
             else:  # LINE: A_rot = RT ⊕ I₂ — moment columns pass through
                 CMi = jnp.concatenate(
-                    [el.mm(C(blk[:, 0:3]), RT),
-                     C(blk[:, 3:5]) + zero[None, None]],
+                    [el.mm_sd(blk[:, 0:3], RT), el.smat(blk[:, 3:5], zero)],
                     axis=1,
                 )
             CM_blocks.append(CMi)
@@ -626,8 +655,7 @@ class TickProgram:
         mdof = self.mdof
         use_lim = self.tlim is not None
         mirror = mdof if use_lim else 0
-        br = tg.ndim - 1
-        tlim = el.const(self.tlim, br, dtype) if use_lim else None
+        tlim = el.svec(self.tlim, tg[0] * 0.0) if use_lim else None
 
         tau_task = jnp.zeros_like(tg)
         tau_contact = jnp.zeros_like(tg)
