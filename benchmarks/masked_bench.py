@@ -1,0 +1,138 @@
+"""Masked multi-hypothesis serving bench — BASELINE config 5's shape.
+
+4096 scenarios, each a (state, support-hypothesis) pair over the two-foot
+candidate set {both, left, right}, solved per tick by ONE masked fused
+Pallas kernel with warm-start carry — the persistent hot-start analog of
+the reference's per-hierarchy qpOASES solvers (include/dwbc.h:222-228), at
+hypothesis-sweep scale the reference cannot express (its SetContact resizes
+matrices per mode, include/dwbc.h:432-474).
+
+Methodology identical to bench.py (chained on-device scan, RTT subtracted).
+
+Usage: python benchmarks/masked_bench.py [--xla] [-B 4096] [-K 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-B", type=int, default=4096)
+    ap.add_argument("-K", type=int, default=32)
+    ap.add_argument("--warm-iters", type=int, default=7)
+    ap.add_argument("--xla", action="store_true",
+                    help="also time the XLA MaskedTick for comparison")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+    except Exception:
+        pass
+
+    from libdwbc_tpu.model.compile import RobotModel
+    from libdwbc_tpu.wbc.pipeline import standard_tocabi_config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = RobotModel.load(os.path.join(here, "models", "tocabi.npz"))
+    cfg = standard_tocabi_config(model, qp_iters=12)
+
+    B, K = args.B, args.K
+    rng = np.random.default_rng(0)
+    q = np.zeros(model.nq, np.float32)
+    q[2] = 0.92983
+    q[model.ndof] = 1.0
+    q[6:18] = np.array([0, 0, -0.24, 0.6, -0.36, 0] * 2, np.float32)
+    qs = np.tile(q, (B, 1))
+    qs[:, 6:39] += 0.02 * rng.standard_normal((B, 33)).astype(np.float32)
+    qds = np.zeros((B, model.ndof), np.float32)
+    f1 = np.tile(np.array([0.1, 0.3, 0.1, 0, 0, 0], np.float32), (B, 1))
+    f2 = np.tile(np.array([0.05, 0, 0], np.float32), (B, 1))
+    # hypothesis grid: both/left/right support, cycled across scenarios
+    mask_set = np.array([[1, 1], [1, 0], [0, 1]], np.float32)
+    masks = mask_set[np.arange(B) % 3]
+
+    def rtt():
+        f = jax.jit(lambda x: x * 2.0)
+        x0 = jax.device_put(np.ones(8, np.float32))
+        float(jnp.sum(f(x0)))
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(jnp.sum(f(x0)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    def run(tick, label):
+        @jax.jit
+        def chained(q0, qd0, fs, cm):
+            warm0 = tick.init_warm((q0.shape[0],))
+            res0, warm = tick._tick_impl(q0, qd0, fs, cm, warm=warm0,
+                                         qp_iters=12)
+            dq = 1e-6 * jnp.tanh(res0.torque_cmd)
+            q1 = q0.at[:, 6:39].add(dq)
+
+            def body(carry, _):
+                qq, w = carry
+                res, w = tick._tick_impl(qq, qd0, fs, cm, warm=w,
+                                         qp_iters=args.warm_iters)
+                qq = qq.at[:, 6:39].add(1e-6 * jnp.tanh(res.torque_cmd))
+                return (qq, w), (jnp.max(res.qp_gap), jnp.max(res.qp_primal_res))
+
+            (qq, _), diag = jax.lax.scan(body, (q1, warm), None, length=K - 1)
+            return qq, diag
+
+        a = (jax.device_put(qs), jax.device_put(qds),
+             (jax.device_put(f1), jax.device_put(f2)), jax.device_put(masks))
+        r = rtt()
+        qq, diag = chained(*a)
+        float(jnp.sum(qq))
+        t0 = time.perf_counter()
+        qq, diag = chained(*a)
+        float(jnp.sum(qq))
+        dt = time.perf_counter() - t0
+        per_tick = max(dt - r, 1e-9) / K
+        out = dict(
+            metric=f"masked_hypothesis_solves_per_sec_{label}",
+            value=round(B / per_tick, 1),
+            unit="solves/s",
+            batch=B, chained_ticks=K, warm_iters=args.warm_iters,
+            qp_gap_max=float(np.asarray(diag[0]).max()),
+            qp_primal_res_max=float(np.asarray(diag[1]).max()),
+        )
+        print(json.dumps(out), flush=True)
+        return out
+
+    from libdwbc_tpu.wbc.fused import FusedTick
+
+    ft = FusedTick(model, cfg, dtype=jnp.float32, masked=True)
+    run(ft, "fused")
+
+    if args.xla:
+        from libdwbc_tpu.wbc.masked import MaskedTick
+
+        mt = MaskedTick(model, cfg, dtype=jnp.float32)
+        run(mt, "xla")
+
+
+if __name__ == "__main__":
+    main()

@@ -351,6 +351,49 @@ def complete_basis(A):
     )
 
 
+def orthonormalize_drop(V, tol=1e-8):
+    """MGS over columns of (n,k)+bt with rank dropout: columns whose
+    residual norm falls below `tol` come back as ZERO columns (mirror of
+    wbc/masked._orthonormalize_drop — rank-deficient masked kernel bases
+    yield zeros, not noise)."""
+    k = V.shape[1]
+    out = []
+    for j in range(k):
+        v = V[:, j]
+        for u in out:
+            v = v - dot(u, v)[None] * u
+        nrm = jnp.sqrt(dot(v, v))[None]
+        keep = nrm > tol
+        out.append(jnp.where(keep, v / jnp.where(keep, nrm, 1.0), 0.0))
+    return jnp.stack(out, axis=1)
+
+
+def compact_columns(V, tol=1e-10):
+    """Shift nonzero columns of (n,k)+bt left, preserving order (mirror of
+    wbc/masked._compact_columns, built from prefix sums — no gather).
+    Returns (V_compacted, n_nonzero (*bt))."""
+    k = V.shape[1]
+    nz = []
+    for j in range(k):
+        nz.append((jnp.sqrt(dot(V[:, j], V[:, j])) > tol).astype(V.dtype))
+    # pos[j] = (# nonzero among 0..j) − 1  (target slot of column j)
+    pos = []
+    acc = None
+    for j in range(k):
+        acc = nz[j] if acc is None else acc + nz[j]
+        pos.append(acc - 1.0)
+    cols = []
+    for t in range(k):
+        c = None
+        for j in range(k):
+            w = nz[j] * (jnp.abs(pos[j] - t) < 0.5).astype(V.dtype)
+            term = V[:, j] * w[None]
+            c = term if c is None else c + term
+        cols.append(c)
+    count = acc
+    return jnp.stack(cols, axis=1), count
+
+
 def qr_pinv(M, rcond=1e-6):
     """Thresholded pseudo-inverse of a small square (n,n)+bt matrix —
     mirror of smallmat.qr_pinv (MGS QR, dead pivots zeroed)."""

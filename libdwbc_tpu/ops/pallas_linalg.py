@@ -149,6 +149,12 @@ def pallas_psd_inverse(A, interpret: bool = False):
         out_specs=spec(n, n),
         out_shape=jax.ShapeDtypeStruct((n, n, R, 128), dtype),
         interpret=interpret,
+        # multi-tile grids double-buffer the (packed-in + full-out) blocks;
+        # at n=39 that exceeds Mosaic's conservative 16 MB default scoped
+        # limit (measured: 17.98M at G=4).  v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(Apt)
 
     out = jnp.moveaxis(out, (-2, -1), (0, 1)).reshape((Bp, n, n))[:B]

@@ -302,6 +302,11 @@ def pallas_qp_solve(H, g, C, d, iters: int = 12, ridge: float = 1e-6,
         out_specs=[spec(n), spec(m), spec(m)],
         out_shape=out_shape,
         interpret=interpret,
+        # see ops/pallas_linalg.py: multi-tile grids double-buffer blocks
+        # past Mosaic's 16 MB default scoped limit; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(*ins)
 
     def from_tiles(a, lead):

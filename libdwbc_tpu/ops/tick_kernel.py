@@ -85,17 +85,180 @@ _POS = (T.TASK_LINK_POSITION, T.TASK_LINK_POSITION_COM_FRAME,
         T.TASK_LINK_POSITION_CUSTOM_FRAME)
 _COM_FRAME = (T.TASK_LINK_6D_COM_FRAME, T.TASK_LINK_POSITION_COM_FRAME)
 
+# elem shapes of ServoParams fields (wbc/pipeline.py::ServoParams) — used by
+# wbc/fused.py to tell batched from unbatched leaves
+SERVO_ELEM_SHAPES = dict(
+    t=(), t0=(), tf=(), use_pos=(), use_rot=(),
+    pos_init=(3,), vel_init=(3,), pos_des=(3,), vel_des=(3,),
+    w_init=(3,), w_des=(3,), pos_p=(3,), pos_d=(3,), pos_a=(3,),
+    rot_p=(3,), rot_d=(3,), rot_init=(3, 3), rot_des=(3, 3),
+    max_p_err=(6,), max_d_err=(6,),
+)
+
+
+# --------------------------------------------------------------------------
+# Element-leading rotation/servo primitives (mirrors of kin/rotations.py and
+# wbc/pipeline.py::servo_fstar / utils/traj.py::quintic_spline)
+# --------------------------------------------------------------------------
+
+def _quat_to_matrix_el(qv):
+    """(4,)+bt (x,y,z,w) → (3,3)+bt (kin/rotations.py:25-50)."""
+    x, y, z, w = qv[0], qv[1], qv[2], qv[3]
+    n = x * x + y * y + z * z + w * w
+    s = jnp.where(n > 0, 2.0 / n, 0.0)
+    xs, ys, zs = x * s, y * s, z * s
+    wx, wy, wz = w * xs, w * ys, w * zs
+    xx, xy, xz = x * xs, x * ys, x * zs
+    yy, yz, zz = y * ys, y * zs, z * zs
+    return jnp.stack([
+        jnp.stack([1.0 - (yy + zz), xy - wz, xz + wy], axis=0),
+        jnp.stack([xy + wz, 1.0 - (xx + zz), yz - wx], axis=0),
+        jnp.stack([xz - wy, yz + wx, 1.0 - (xx + yy)], axis=0),
+    ], axis=0)
+
+
+def _matrix_to_quat_el(R):
+    """(3,3)+bt → (4,)+bt, 4-branch via where (kin/rotations.py:53-92)."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    qw0 = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-30)) / 2.0
+    q0 = jnp.stack([(m21 - m12) / (4 * qw0), (m02 - m20) / (4 * qw0),
+                    (m10 - m01) / (4 * qw0), qw0], axis=0)
+    qx1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-30)) / 2.0
+    q1 = jnp.stack([qx1, (m01 + m10) / (4 * qx1), (m02 + m20) / (4 * qx1),
+                    (m21 - m12) / (4 * qx1)], axis=0)
+    qy2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-30)) / 2.0
+    q2 = jnp.stack([(m01 + m10) / (4 * qy2), qy2, (m12 + m21) / (4 * qy2),
+                    (m02 - m20) / (4 * qy2)], axis=0)
+    qz3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-30)) / 2.0
+    q3 = jnp.stack([(m02 + m20) / (4 * qz3), (m12 + m21) / (4 * qz3), qz3,
+                    (m10 - m01) / (4 * qz3)], axis=0)
+    use0 = (tr > 0.0)[None]
+    usex = ((m00 >= m11) & (m00 >= m22))[None]
+    usey = (m11 >= m22)[None]
+    q = jnp.where(use0, q0, jnp.where(usex, q1, jnp.where(usey, q2, q3)))
+    return q * jnp.where(q[3:4] < 0, -1.0, 1.0)
+
+
+def _quat_slerp_el(q0, q1, t):
+    """(4,)+bt, (4,)+bt, (*bt) → (4,)+bt (kin/rotations.py:121-133)."""
+    d = jnp.sum(q0 * q1, axis=0)
+    q1 = jnp.where(d[None] < 0, -q1, q1)
+    d = jnp.clip(jnp.abs(d), -1.0, 1.0)
+    theta = jnp.arccos(d)
+    sin_theta = jnp.sin(theta)
+    small = sin_theta < 1e-8
+    denom = jnp.where(small, 1.0, sin_theta)
+    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / denom)
+    w1 = jnp.where(small, t, jnp.sin(t * theta) / denom)
+    out = w0[None] * q0 + w1[None] * q1
+    return out / jnp.sqrt(jnp.sum(out * out, axis=0))[None]
+
+
+def _rotation_log_el(R):
+    """(3,3)+bt → angle·axis (3,)+bt (kin/rotations.py:136-151)."""
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    theta = jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    v = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]],
+                  axis=0)
+    sin_t = jnp.sin(theta)
+    small = jnp.abs(sin_t) < 1e-8
+    scale = jnp.where(small, 0.5, theta / (2.0 * jnp.where(small, 1.0, sin_t)))
+    return v * scale[None]
+
+
+def _get_phi_el(Rc, Rd):
+    """0.5 Σ_i col_i(Rc) × col_i(Rd) (DWBC::GetPhi, src/math.cpp:276-291)."""
+    s = el.cross(Rc[:, 0], Rd[:, 0])
+    s = s + el.cross(Rc[:, 1], Rd[:, 1])
+    s = s + el.cross(Rc[:, 2], Rd[:, 2])
+    return 0.5 * s
+
+
+def _quintic_el(t, t0, tf, x0, v0, xf, vf):
+    """Quintic with zero boundary accelerations on (k,)+bt endpoints and
+    (*bt) clocks (utils/traj.py::quintic_spline, a0 = af = 0)."""
+    ts = tf - t0
+    ts2, ts3, ts4, ts5 = ts * ts, ts**3, ts**4, ts**5
+    b1 = xf - x0 - v0 * ts[None]
+    b2 = vf - v0
+    a4 = (20.0 * b1 - 8.0 * b2 * ts[None]) / (2.0 * ts3)[None]
+    a5 = (-30.0 * b1 + 14.0 * b2 * ts[None]) / (2.0 * ts4)[None]
+    a6 = (12.0 * b1 - 6.0 * b2 * ts[None]) / (2.0 * ts5)[None]
+    tc = (jnp.clip(t, t0, tf) - t0)[None]
+    pos = x0 + v0 * tc + a4 * tc**3 + a5 * tc**4 + a6 * tc**5
+    vel = v0 + 3 * a4 * tc**2 + 4 * a5 * tc**3 + 5 * a6 * tc**4
+    acc = 6 * a4 * tc + 12 * a5 * tc**2 + 20 * a6 * tc**3
+    before = (t < t0)[None]
+    after = (t > tf)[None]
+    pos = jnp.where(before, x0, jnp.where(after, xf, pos))
+    vel = jnp.where(before, v0, jnp.where(after, vf, vel))
+    acc = jnp.where(before | after, 0.0, acc)
+    return pos, vel, acc
+
+
+def _servo_fstar_el(sp, pos, vel, rot, w):
+    """Trajectory + PD servo, elem-leading mirror of
+    wbc/pipeline.py::servo_fstar (quintic position spline, slerp rotation
+    trajectory, SetPDerrorRegulation clamps).  sp: dict of elem-leading
+    ServoParams fields.  Returns (6,)+bt [f*_pos; f*_rot]."""
+    clip = lambda x, lim: jnp.clip(x, -lim, lim)
+    pos_traj, vel_traj, acc_traj = _quintic_el(
+        sp["t"], sp["t0"], sp["tf"],
+        sp["pos_init"], sp["vel_init"], sp["pos_des"], sp["vel_des"],
+    )
+    p_err = clip(pos_traj - pos, sp["max_p_err"][0:3])
+    d_err = clip(vel_traj - vel, sp["max_d_err"][0:3])
+    f_pos = sp["pos_a"] * acc_traj + sp["pos_p"] * p_err + sp["pos_d"] * d_err
+
+    z = jnp.zeros_like(sp["t"])[None]
+    s_sc, sd_sc, _ = _quintic_el(
+        sp["t"], sp["t0"], sp["tf"], z, z, z + 1.0, z
+    )
+    s_sc, sd_sc = s_sc[0], sd_sc[0]
+    q0 = _matrix_to_quat_el(sp["rot_init"])
+    qf = _matrix_to_quat_el(sp["rot_des"])
+    rot_traj = _quat_to_matrix_el(_quat_slerp_el(q0, qf, s_sc))
+    aa = _rotation_log_el(el.mmT(sp["rot_des"], sp["rot_init"]))
+    w_traj = aa * sd_sc[None] + jnp.where(
+        s_sc[None] >= 1.0, sp["w_des"], 0.0
+    )
+    r_err = clip(_get_phi_el(rot, rot_traj), sp["max_p_err"][3:6])
+    wd_err = clip(w_traj - w, sp["max_d_err"][3:6])
+    f_rot = sp["rot_p"] * r_err + sp["rot_d"] * wd_err
+    return jnp.concatenate([f_pos, f_rot], axis=0)
+
+
+_ROW_MASK = {
+    T.CONTACT_6D: np.ones(6),
+    T.CONTACT_POINT: np.array([1.0, 1, 1, 0, 0, 0]),
+    T.CONTACT_LINE: np.array([1.0, 1, 1, 0, 1, 1]),
+}
+_CROW_MASK = {
+    T.CONTACT_6D: np.ones(10),
+    T.CONTACT_POINT: np.array([0.0, 0, 0, 0, 1, 1, 1, 1, 1, 1]),
+    T.CONTACT_LINE: np.array([1.0, 1, 0, 0, 1, 1, 1, 1, 1, 1]),
+}
+
 
 class TickProgram:
     """Static plan + element-leading implementation of one tick config.
 
     model: RobotModel; cfg: wbc.pipeline.PipelineConfig.
+
+    masked=True: the multi-contact-mode tick (wbc/masked.py semantics) —
+    contacts are a CANDIDATE set padded to 6 rows each, and prestage takes
+    a per-scenario contact_mask (nc,)+bt selecting the active subset, so a
+    single kernel covers every support hypothesis in one batch.
     """
 
-    def __init__(self, model, cfg, dtype=jnp.float32):
+    def __init__(self, model, cfg, dtype=jnp.float32, masked=False):
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
+        self.masked = masked
         m = model
         self.nbody = int(m.nbody)
         self.ndof = int(m.ndof)
@@ -165,10 +328,29 @@ class TickProgram:
         ]
 
         # contacts static data
-        self.cdof = sum(c.contact_dof for c in cfg.contacts)
-        self.cfree = max(self.cdof - 6, 0)
-        self.const_blocks = [_np_constraint_block(c) for c in cfg.contacts]
-        self.k_rows = sum(b.shape[0] for b in self.const_blocks)
+        if masked:
+            # padded layout: every candidate gets 6 jacobian rows + the full
+            # (10,6) [ZMP; cone] block; per-type dead rows are statically
+            # masked, per-scenario inactive contacts dynamically masked
+            nc = len(cfg.contacts)
+            self.cdof = 6 * nc
+            self.cfree = max(self.cdof - 6, 0)
+            self.const_blocks = [
+                np.concatenate(
+                    [_np_zmp_block(c.plane_x, c.plane_y),
+                     _np_force_block(c.friction_ratio, c.friction_ratio_z)],
+                    axis=0,
+                )
+                for c in cfg.contacts
+            ]
+            self.k_rows = 10 * nc
+            self.type_row_masks = [_ROW_MASK[c.contact_type] for c in cfg.contacts]
+            self.type_crow_masks = [_CROW_MASK[c.contact_type] for c in cfg.contacts]
+        else:
+            self.cdof = sum(c.contact_dof for c in cfg.contacts)
+            self.cfree = max(self.cdof - 6, 0)
+            self.const_blocks = [_np_constraint_block(c) for c in cfg.contacts]
+            self.k_rows = sum(b.shape[0] for b in self.const_blocks)
         self.tlim = (None if cfg.torque_limit is None
                      else np.asarray(cfg.torque_limit, np.float64))
 
@@ -182,8 +364,11 @@ class TickProgram:
             self.qp_dims.append((self.cfree, lim_rows + self.k_rows))
 
     # ----------------------------------------------------------- prestage
-    def prestage(self, q):
+    def prestage(self, q, cmask=None, qdot=None, servo_req=None):
         """q (nq,)+bt → dict of everything the QP chain + result need.
+        cmask (nc,)+bt: per-scenario contact activity (masked mode only).
+        servo_req: static per-level/per-spec booleans — compute those task
+        links' (pos, vel, rot, w) for the on-device servo (needs qdot).
 
         Pallas-safe: all static model data enters as Python scalar literals
         (elemlin's *_ds/*_sd/svec helpers) — no captured array constants —
@@ -385,28 +570,101 @@ class TickProgram:
             Jt_bot = jnp.stack(xs, axis=0)
             out["Jcom_total"] = jnp.concatenate([A[0:3] / M, Jt_bot], axis=0)
 
-        # ---------------- contact jacobian rows (per type)
-        Jc_rows = []
-        for slot, c in zip(self.contact_slots, self.cfg.contacts):
-            J6 = J_pts[slot]
-            if c.contact_type == T.CONTACT_6D:
-                Jc_rows.append(J6)
-            elif c.contact_type == T.CONTACT_POINT:
-                Jc_rows.append(J6[0:3])
-            else:  # CONTACT_LINE
-                Jloc = el.mm(el.transpose(R[c.link]), J6[3:6])
-                Jc_rows.append(jnp.concatenate([J6[0:3], Jloc[1:3]], axis=0))
-        J_C = jnp.concatenate(Jc_rows, axis=0)           # (cdof, ndof)+bt
+        # ---------------- servo task-link states (pipeline._task_state)
+        if servo_req is not None and any(any(lv) for lv in servo_req):
+            assert qdot is not None, "servo'd fused tick needs qdot"
+            # per-body velocities (kin/engine.py::velocities, world frame)
+            w_b = [el.mv(R0, qdot[3:6])]
+            v_b = [qdot[0:3]]
+            for i in range(1, self.nbody):
+                par = self.parent[i]
+                qd_i = qdot[self.q_index[i]]
+                w_b.append(w_b[par] + axis_w[i] * qd_i[None])
+                v_b.append(v_b[par] + el.cross(w_b[par], p[i] - p[par]))
+            tstates = {}
+            for h, lv in enumerate(servo_req):
+                for j, need in enumerate(lv):
+                    if not need:
+                        continue
+                    kind, payload, mode = self.task_slots[h][j]
+                    if kind == "tot":
+                        M = self.total_mass
+                        skm2 = el.mm(R0, A[3:6, 0:3]) / M
+                        cpos = jnp.stack(
+                            [skm2[2, 1], skm2[0, 2], skm2[1, 0]], axis=0
+                        ) + q[0:3]
+                        cvel = el.mv(out["Jcom_total"], qdot)[0:3]
+                        tstates[(h, j)] = (
+                            cpos, cvel, el.eye(3, zero),
+                            jnp.stack([zero, zero, zero], axis=0),
+                        )
+                    else:
+                        link, pt = self._points[payload]
+                        rot = R[link]
+                        wv = w_b[link]
+                        if any(pt):
+                            rr = el.mv_ds(rot, np.asarray(pt))
+                            ppos = p[link] + rr
+                            pvel = v_b[link] + el.cross(wv, rr)
+                        else:
+                            ppos = p[link]
+                            pvel = v_b[link]
+                        tstates[(h, j)] = (ppos, pvel, rot, wv)
+            out["task_states"] = tstates
 
-        # ---------------- contact space (wbc/dynamics.py::contact_space)
+        # ---------------- contact jacobian rows (per type)
+        row_mask = None
+        if self.masked:
+            # padded 6-row blocks per candidate; LINE rotation rows go
+            # contact-local so the statically-dead row is the local-x moment
+            Jc_rows = []
+            rm_entries = []
+            for i, (slot, c) in enumerate(
+                zip(self.contact_slots, self.cfg.contacts)
+            ):
+                J6 = J_pts[slot]
+                if c.contact_type == T.CONTACT_LINE:
+                    Jloc = el.mm(el.transpose(R[c.link]), J6[3:6])
+                    J6 = jnp.concatenate([J6[0:3], Jloc], axis=0)
+                Jc_rows.append(J6)
+                tm = self.type_row_masks[i]
+                for r6 in range(6):
+                    rm_entries.append(
+                        cmask[i] * float(tm[r6]) if tm[r6] != 0.0 else zero
+                    )
+            J_C = jnp.concatenate(Jc_rows, axis=0)       # (6nc, ndof)+bt
+            row_mask = jnp.stack(rm_entries, axis=0)     # (6nc,)+bt
+            J_C = J_C * row_mask[:, None]
+        else:
+            Jc_rows = []
+            for slot, c in zip(self.contact_slots, self.cfg.contacts):
+                J6 = J_pts[slot]
+                if c.contact_type == T.CONTACT_6D:
+                    Jc_rows.append(J6)
+                elif c.contact_type == T.CONTACT_POINT:
+                    Jc_rows.append(J6[0:3])
+                else:  # CONTACT_LINE
+                    Jloc = el.mm(el.transpose(R[c.link]), J6[3:6])
+                    Jc_rows.append(
+                        jnp.concatenate([J6[0:3], Jloc[1:3]], axis=0)
+                    )
+            J_C = jnp.concatenate(Jc_rows, axis=0)       # (cdof, ndof)+bt
+
+        # ---------------- contact space (wbc/dynamics.py::contact_space /
+        # wbc/masked.py::masked_contact_space)
         JAinv = el.mm(J_C, A_inv)
         Mc = el.mmT(JAinv, J_C)
         Mc = 0.5 * (Mc + el.transpose(Mc))
+        if self.masked:
+            # +1 on inactive diagonal → the active block inverts exactly
+            Mc = el.diag_add(Mc, [1.0 - row_mask[i] for i in range(self.cdof)])
         health = jnp.minimum(
             el.chol_health(Mc),
             el.chol_health(el.mTm(J_C[:, 0:6], J_C[:, 0:6])),
         )
         Lambda_c = el.psd_inverse(Mc)
+        if self.masked:
+            Lambda_c = Lambda_c * row_mask[:, None] * row_mask[None]
         Jbar = el.mm(Lambda_c, JAinv)                    # J̄_cᵀ (cdof, ndof)+bt
         P_C = el.mv(Jbar, G)
         NCG = G - el.mTv(J_C, P_C)
@@ -415,12 +673,50 @@ class TickProgram:
                  - el.mTm(JAinv[:, 6:], Jbar[:, 6:]))
         Wfree = 0.5 * (Wfree + el.transpose(Wfree))
 
-        if self.cfree > 0:
+        if self.cfree > 0 and not self.masked:
             Ny = el.complete_basis(J_C[:, 0:6])[:, 6:]   # (cdof, cfree)+bt
             V2T = el.qr_thin(el.mTm(J_C[:, 6:], Ny))     # (mdof, cfree)+bt
             VVt = el.mmT(V2T, V2T)
             W_inv = el.psd_inverse(Wfree + VVt) - VVt
             NwJw = el.mm(V2T, el.qr_pinv(el.mm(Jbar[0:self.cfree, 6:], V2T)))
+        elif self.cfree > 0:
+            # masked kernel basis: rank = active_cdof − 6 ≤ cfree; dead
+            # directions become ZERO columns, compacted left; NwJw
+            # normalizes against the first (active_cdof − 6) ACTIVE rows of
+            # J̄ᵀ via an in-graph selection (masked.py:142-155)
+            Ny = el.complete_basis(J_C[:, 0:6])[:, 6:]
+            V2T = el.orthonormalize_drop(el.mTm(J_C[:, 6:], Ny))
+            V2T, _ = el.compact_columns(V2T)
+            P_k = el.mmT(V2T, V2T)
+            W_inv = el.psd_inverse(Wfree + P_k) - P_k
+            c_act = jnp.sum(row_mask, axis=0)            # (*bt)
+            # idx[i] = (# active rows ≤ i) − 1
+            idx = []
+            acc = None
+            for i in range(self.cdof):
+                acc = row_mask[i] if acc is None else acc + row_mask[i]
+                idx.append(acc - 1.0)
+            lim = c_act - 6.0
+            JbV = el.mm(Jbar[:, 6:], V2T)                # (cdof, cfree)+bt
+            inner_rows = []
+            for t in range(self.cfree):
+                accr = None
+                for i in range(self.cdof):
+                    w = (row_mask[i]
+                         * (jnp.abs(idx[i] - t) < 0.5).astype(dtype)
+                         * (t < lim).astype(dtype))
+                    term = JbV[i] * w[None]
+                    accr = term if accr is None else accr + term
+                inner_rows.append(accr)
+            inner = jnp.stack(inner_rows, axis=0)        # (cfree, cfree)+bt
+            live = [
+                (jnp.zeros_like(c_act) + t < lim).astype(dtype)
+                for t in range(self.cfree)
+            ]
+            livev = jnp.stack(live, axis=0)              # (cfree,)+bt
+            inner = inner * livev[:, None] * livev[None]
+            inner = el.diag_add(inner, [1.0 - live[t] for t in range(self.cfree)])
+            NwJw = el.mm(V2T, el.qr_pinv(inner)) * livev[None]
         else:
             W_inv = el.psd_inverse(Wfree)
             NwJw = None
@@ -462,7 +758,21 @@ class TickProgram:
         CM_blocks = []
         for c, blk in zip(self.cfg.contacts, self.const_blocks):
             RT = el.transpose(R[c.link])
-            if c.contact_type == T.CONTACT_6D:
+            if self.masked:
+                # padded (10,6) block; LINE moment rows already contact-
+                # local (see jacobian assembly) → identity on the rotation
+                # half (masked.py:299-306)
+                if c.contact_type == T.CONTACT_LINE:
+                    CMi = jnp.concatenate(
+                        [el.mm_sd(blk[:, 0:3], RT),
+                         el.smat(blk[:, 3:6], zero)], axis=1,
+                    )
+                else:
+                    CMi = jnp.concatenate(
+                        [el.mm_sd(blk[:, 0:3], RT),
+                         el.mm_sd(blk[:, 3:6], RT)], axis=1,
+                    )
+            elif c.contact_type == T.CONTACT_6D:
                 # A_rot = RT ⊕ RT; CM_i = blk @ A_rot: split columns
                 CMi = jnp.concatenate(
                     [el.mm_sd(blk[:, 0:3], RT), el.mm_sd(blk[:, 3:6], RT)],
@@ -479,12 +789,22 @@ class TickProgram:
         Atemp_rows, bA0_rows = [], []
         r = 0
         for c, CMi in zip(self.cfg.contacts, CM_blocks):
-            dd = c.contact_dof
+            dd = 6 if self.masked else c.contact_dof
             Atemp_rows.append(el.mm(CMi, Jbar[r:r + dd, 6:]))
             bA0_rows.append(el.mv(CMi, P_C[r:r + dd]))
             r += dd
         Atemp = jnp.concatenate(Atemp_rows, axis=0)       # (k_rows, mdof)+bt
         bA0 = jnp.concatenate(bA0_rows, axis=0)           # (k_rows,)+bt
+
+        if self.masked:
+            crow = []
+            for i, c in enumerate(self.cfg.contacts):
+                cw = self.type_crow_masks[i]
+                for rr in range(10):
+                    crow.append(
+                        cmask[i] * float(cw[rr]) if cw[rr] != 0.0 else zero
+                    )
+            out["crow_mask"] = jnp.stack(crow, axis=0)    # (k_rows,)+bt
 
         out.update(
             torque_grav=torque_grav,
@@ -662,6 +982,14 @@ class TickProgram:
         gap = jnp.zeros_like(tg[0])
         pres = jnp.zeros_like(tg[0])
         warm_out = []
+        crow = pre.get("crow_mask")  # masked mode: per-scenario cone rows
+
+        def mask_cone(D, ub_c):
+            """Inactive contacts' cone/ZMP rows → 0·x ≤ 1 (the elem-leading
+            form of solve_qp's +inf row masking — keeps IPM scaling sane)."""
+            if crow is None:
+                return D, ub_c
+            return D * crow[:, None], jnp.where(crow > 0.5, ub_c, 1.0)
 
         nlev = len(self.task_slots)
         for h in range(nlev):
@@ -675,6 +1003,7 @@ class TickProgram:
             D = -el.mm(Atemp, blk)                         # (k, nv)+bt
             tau_base = tg + tau_task + el.mv(Nt, fstars[h])
             ub_c = el.mv(Atemp, tau_base) - bA0
+            D, ub_c = mask_cone(D, ub_c)
             if use_lim:
                 Cs = jnp.concatenate([blk, D], axis=0)
                 d = jnp.concatenate(
@@ -699,6 +1028,7 @@ class TickProgram:
             tau_input = tg + tau_task + tau_contact
             D = -el.mm(Atemp, NwJw)
             ub_c = el.mv(Atemp, tau_input) - bA0
+            D, ub_c = mask_cone(D, ub_c)
             if use_lim:
                 Cs = jnp.concatenate([NwJw, D], axis=0)
                 d = jnp.concatenate(
@@ -731,7 +1061,57 @@ class TickProgram:
             warm_out=tuple(warm_out),
         )
 
-    def tick(self, q, fstars, warm=None, iters=25):
-        """Full fused tick, element-leading: q (nq,)+bt → result dict."""
-        pre = self.prestage(q)
+    def _apply_servos_el(self, pre, fstars, servos):
+        """Replace f* rows whose task link carries servo params with the
+        on-device trajectory-PD output (pipeline._apply_servos mirror).
+        servos: per level, None or per-spec tuple of dict-or-None."""
+        out_fs = []
+        for h, slots in enumerate(self.task_slots):
+            f = fstars[h]
+            lvl = servos[h] if h < len(servos) else None
+            if lvl is None:
+                out_fs.append(f)
+                continue
+            rows = []
+            off = 0
+            for j, (kind, payload, mode) in enumerate(slots):
+                nr = 6 if mode in _SIX else 3
+                fj = f[off:off + nr]
+                off += nr
+                sp = lvl[j]
+                if sp is None:
+                    rows.append(fj)
+                    continue
+                pos, vel, rot, wv = pre["task_states"][(h, j)]
+                f6 = _servo_fstar_el(sp, pos, vel, rot, wv)
+                up = sp["use_pos"][None]
+                ur = sp["use_rot"][None]
+                if mode in _SIX:
+                    rows.append(jnp.concatenate([
+                        up * f6[0:3] + (1.0 - up) * fj[0:3],
+                        ur * f6[3:6] + (1.0 - ur) * fj[3:6],
+                    ], axis=0))
+                elif mode in _POS:
+                    rows.append(up * f6[0:3] + (1.0 - up) * fj)
+                else:
+                    rows.append(ur * f6[3:6] + (1.0 - ur) * fj)
+            out_fs.append(jnp.concatenate(rows, axis=0))
+        return tuple(out_fs)
+
+    def tick(self, q, fstars, warm=None, iters=25, cmask=None, qdot=None,
+             servos=None):
+        """Full fused tick, element-leading: q (nq,)+bt → result dict.
+        cmask (nc,)+bt required in masked mode; servos (nested dicts of
+        elem-leading ServoParams fields) need qdot."""
+        assert (cmask is not None) == self.masked
+        servo_req = None
+        if servos is not None:
+            servo_req = tuple(
+                tuple(False for _ in self.task_slots[h]) if lv is None
+                else tuple(sp is not None for sp in lv)
+                for h, lv in enumerate(servos)
+            )
+        pre = self.prestage(q, cmask=cmask, qdot=qdot, servo_req=servo_req)
+        if servos is not None:
+            fstars = self._apply_servos_el(pre, fstars, servos)
         return self.qpchain(pre, fstars, warm=warm, iters=iters)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.compile import RobotModel
-from ..ops.tick_kernel import TickProgram
+from ..ops.tick_kernel import SERVO_ELEM_SHAPES, TickProgram
 from .pipeline import PipelineConfig, TickResult
 
 TILE = 8 * 128
@@ -83,11 +83,12 @@ class FusedTick:
 
     def __init__(self, model: RobotModel, cfg: PipelineConfig,
                  dtype=jnp.float32, backend: str = "auto",
-                 vmem_limit_mb: int = 100):
+                 vmem_limit_mb: int = 100, masked: bool = False):
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
-        self.prog = TickProgram(model, cfg, dtype)
+        self.masked = masked
+        self.prog = TickProgram(model, cfg, dtype, masked=masked)
         self.vmem_limit_mb = vmem_limit_mb
         if backend == "auto":
             try:
@@ -112,24 +113,40 @@ class FusedTick:
         )
 
     # ------------------------------------------------------------- tick
-    def _tick_impl(self, q, qdot, fstars, warm=None, qp_iters=None,
-                   servos=None):
-        assert servos is None, "FusedTick has no servo path; use CompiledTick"
+    def _tick_impl(self, q, qdot, fstars, contact_mask=None, warm=None,
+                   qp_iters=None, servos=None):
+        """Masked mode takes contact_mask as the 4th positional argument —
+        the MaskedTick._tick_impl signature, so make_control_loop and the
+        hypothesis sweeps drive either class.  servos: CompiledTick's
+        nested per-level/per-spec ServoParams pytree — the on-device
+        trajectory-PD servo runs INSIDE the fused kernel."""
+        assert (contact_mask is not None) == self.masked
         iters = self.cfg.qp_iters if qp_iters is None else qp_iters
         q = jnp.asarray(q, self.dtype)
+        qdot = jnp.asarray(qdot, self.dtype)
         fstars = tuple(jnp.asarray(f, self.dtype) for f in fstars)
         batched = q.ndim == 2
+        cmask = None
+        if self.masked:
+            cmask = jnp.asarray(contact_mask, self.dtype)
+            if batched and cmask.ndim == 1:
+                cmask = jnp.broadcast_to(cmask, (q.shape[0],) + cmask.shape)
         if not batched:
             q = q[None]
+            qdot = qdot[None]
             fstars = tuple(f[None] for f in fstars)
+            if cmask is not None:
+                cmask = cmask[None]
             if warm is not None:
                 warm = tuple((x[None], l[None]) for x, l in warm)
         B = q.shape[0]
 
         if self.backend == "pallas":
-            out = self._run_pallas(q, fstars, warm, iters, B)
+            out = self._run_pallas(q, fstars, warm, iters, B, cmask,
+                                   qdot=qdot, servos=servos)
         else:
-            out = self._run_xla(q, fstars, warm, iters)
+            out = self._run_xla(q, fstars, warm, iters, cmask,
+                                qdot=qdot, servos=servos)
 
         result = TickResult(
             torque_grav=out["torque_grav"],
@@ -151,17 +168,60 @@ class FusedTick:
             return result, out["warm_out"]
         return result
 
+    # ------------------------------------------------------------ servos
+    def _servo_fields(self, sp, B):
+        """ServoParams → dict of batched (B, elem...) arrays."""
+        d = {}
+        for f in sp._fields:
+            leaf = jnp.asarray(getattr(sp, f), self.dtype)
+            es = SERVO_ELEM_SHAPES[f]
+            if leaf.ndim == len(es):
+                leaf = jnp.broadcast_to(leaf, (B,) + es)
+            d[f] = leaf
+        return d
+
+    def _servos_batched(self, servos, B):
+        """Nested pytree → per-level tuple of per-spec dict-or-None."""
+        if servos is None:
+            return None
+        out = []
+        for h, slots in enumerate(self.prog.task_slots):
+            lvl = servos[h] if h < len(servos) else None
+            if lvl is None:
+                out.append(None)
+                continue
+            out.append(tuple(
+                None if sp is None else self._servo_fields(sp, B)
+                for sp in lvl
+            ))
+        return tuple(out)
+
     # -------------------------------------------------- XLA (CPU / f64)
-    def _run_xla(self, q, fstars, warm, iters):
+    def _run_xla(self, q, fstars, warm, iters, cmask=None, qdot=None,
+                 servos=None):
         q_el = jnp.moveaxis(q, 0, -1)
         fs_el = tuple(jnp.moveaxis(f, 0, -1) for f in fstars)
+        cm_el = None if cmask is None else jnp.moveaxis(cmask, 0, -1)
+        qd_el = None if qdot is None else jnp.moveaxis(qdot, 0, -1)
+        sv_el = None
+        if servos is not None:
+            sv_b = self._servos_batched(servos, q.shape[0])
+            sv_el = tuple(
+                None if lvl is None else tuple(
+                    None if d is None
+                    else {k: jnp.moveaxis(v, 0, -1) for k, v in d.items()}
+                    for d in lvl
+                )
+                for lvl in sv_b
+            )
         w_el = None
         if warm is not None:
             w_el = tuple(
                 (jnp.moveaxis(x, 0, -1), jnp.moveaxis(l, 0, -1))
                 for x, l in warm
             )
-        out = self.prog.tick(q_el, fs_el, warm=w_el, iters=iters)
+        out = self.prog.tick(q_el, fs_el, warm=w_el, iters=iters, cmask=cm_el,
+                             qdot=qd_el, servos=sv_el)
         res = {
             k: jnp.moveaxis(out[k], -1, 0)
             for k in ("torque_grav", "torque_task", "torque_contact",
@@ -177,7 +237,8 @@ class FusedTick:
         return res
 
     # ------------------------------------------------------ Pallas (TPU)
-    def _run_pallas(self, q, fstars, warm, iters, B):
+    def _run_pallas(self, q, fstars, warm, iters, B, cmask=None, qdot=None,
+                    servos=None):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -193,6 +254,27 @@ class FusedTick:
         for f in fstars:
             ins.append(_to_tiles(f, Bp))
             in_specs.append(_spec((f.shape[1],)))
+        use_mask = cmask is not None
+        if use_mask:
+            ins.append(_to_tiles(cmask, Bp))
+            in_specs.append(_spec((cmask.shape[1],)))
+        use_servo = servos is not None
+        servo_layout = []
+        if use_servo:
+            ins.append(_to_tiles(qdot, Bp))
+            in_specs.append(_spec((qdot.shape[1],)))
+            sv_b = self._servos_batched(servos, B)
+            for h, lvl in enumerate(sv_b):
+                if lvl is None:
+                    continue
+                for j, d in enumerate(lvl):
+                    if d is None:
+                        continue
+                    for fname in sorted(d):
+                        es = SERVO_ELEM_SHAPES[fname]
+                        ins.append(_to_tiles(d[fname], Bp))
+                        in_specs.append(_spec(es))
+                        servo_layout.append((h, j, fname))
         use_warm = warm is not None
         if use_warm:
             for (x, l), (nv, rows) in zip(warm, prog.qp_dims):
@@ -216,15 +298,38 @@ class FusedTick:
             out_refs = refs[nin:]
             q_el = in_refs[0][:]
             fs_el = tuple(in_refs[1 + i][:] for i in range(len(fstars)))
+            base = 1 + len(fstars)
+            cm_el = None
+            if use_mask:
+                cm_el = in_refs[base][:]
+                base += 1
+            qd_el = None
+            sv_el = None
+            if use_servo:
+                qd_el = in_refs[base][:]
+                base += 1
+                sv_dicts = {}
+                for (h, j, fname) in servo_layout:
+                    sv_dicts.setdefault((h, j), {})[fname] = in_refs[base][:]
+                    base += 1
+                sv_el = tuple(
+                    tuple(
+                        sv_dicts.get((h, j))
+                        for j in range(len(prog.task_slots[h]))
+                    ) if any((h, j) in sv_dicts
+                             for j in range(len(prog.task_slots[h])))
+                    else None
+                    for h in range(len(prog.task_slots))
+                )
             w_el = None
             if use_warm:
                 w_el = []
-                base = 1 + len(fstars)
                 for i in range(len(prog.qp_dims)):
                     w_el.append(
                         (in_refs[base + 2 * i][:], in_refs[base + 2 * i + 1][:])
                     )
-            out = prog.tick(q_el, fs_el, warm=w_el, iters=iters)
+            out = prog.tick(q_el, fs_el, warm=w_el, iters=iters, cmask=cm_el,
+                            qdot=qd_el, servos=sv_el)
             k = 0
             for name, lead in out_defs:
                 out_refs[k][:] = out[name]
@@ -271,8 +376,9 @@ class FusedTick:
         return res
 
     # ---------------------------------------------------------- calling
-    def __call__(self, q, qdot, fstars, servos=None) -> TickResult:
-        return self._tick(q, qdot, fstars, servos=servos)
+    def __call__(self, q, qdot, fstars, contact_mask=None, servos=None) -> TickResult:
+        return self._tick(q, qdot, fstars, contact_mask=contact_mask,
+                          servos=servos)
 
     def batched(self):
         return jax.jit(self._tick_impl, static_argnames=("qp_iters",))
