@@ -22,7 +22,7 @@ import dataclasses
 import numpy as np
 
 from .rotations_np import rpy_to_matrix, skew_np
-from .urdf import UrdfModel, parse_urdf
+from .urdf import UrdfInertial, UrdfJoint, UrdfLink, UrdfModel, parse_urdf
 
 GRAVITY = np.array([0.0, 0.0, -9.81])
 
@@ -183,6 +183,121 @@ def compile_urdf(path_or_string: str, floating: bool = True) -> RobotModel:
     """Compile a URDF into a RobotModel (the TPU-native LoadModelData)."""
     urdf = parse_urdf(path_or_string)
     return compile_model(urdf, floating)
+
+
+# ---------------------------------------------------------------------------
+# Programmatic (non-URDF) model construction — the TPU-native analog of
+# ``RobotData::InitModelWithLinkJoint`` (/root/reference/src/dwbc.cpp:2425-2471),
+# which rebuilds an RBDL model from parallel std::vector<Link>/<Joint>.
+# Here the same parallel-vector shape compiles straight to a RobotModel.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class LinkSpec:
+    """One body of a programmatic model (reference ``DWBC::Link``,
+    include/dwbc_link.h:42-145: mass/COM/inertia + parent id)."""
+
+    name: str
+    mass: float = 0.0
+    com: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    inertia: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((3, 3))
+    )
+    parent: int = -1          # index into the links list; -1 = root
+
+
+@dataclasses.dataclass
+class JointSpec:
+    """The joint ABOVE the same-index link (reference ``DWBC::Joint``,
+    include/dwbc_link.h:22-40: type + axis + parent-frame transform).
+
+    joint_type: 'floating' (root only), 'revolute', or 'fixed' (lumped into
+    the parent, RBDL fixed-body merging).  origin_* place the child joint
+    frame in the parent frame (the reference's joint_rotation_/
+    joint_translation_ SpatialTransform, src/dwbc.cpp:2438)."""
+
+    joint_type: str = "revolute"
+    axis: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, 1.0])
+    )
+    origin_xyz: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    origin_rpy: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    origin_rot: np.ndarray | None = None   # (3,3) overrides origin_rpy if given
+    name: str = ""
+    limit_lower: float = -np.inf
+    limit_upper: float = np.inf
+    limit_effort: float = np.inf
+    limit_velocity: float = np.inf
+    damping: float = 0.0
+
+
+def compile_from_links(
+    links: list[LinkSpec], joints: list[JointSpec], name: str = "programmatic"
+) -> RobotModel:
+    """Compile a model from parallel Link/Joint vectors — no URDF anywhere.
+
+    ``links[i]`` is connected to ``links[links[i].parent]`` by ``joints[i]``
+    (``joints[0]`` is the root joint: 'floating' for a floating base, any
+    other type for a fixed base), exactly the vector convention of
+    ``InitModelWithLinkJoint`` (src/dwbc.cpp:2434-2470).  Bodies are numbered
+    in list order (the reference adds them in vector order too), so unlike
+    the URDF path there is no alphabetical child reordering.
+    """
+    assert len(links) == len(joints) and links, "parallel links/joints required"
+    assert links[0].parent < 0, "links[0] must be the root (parent=-1)"
+    floating = joints[0].joint_type == "floating"
+
+    urdf_links = {
+        l.name: UrdfLink(
+            l.name,
+            UrdfInertial(
+                float(l.mass),
+                np.asarray(l.com, np.float64).copy(),
+                np.asarray(l.inertia, np.float64).copy(),
+            ),
+        )
+        for l in links
+    }
+    assert len(urdf_links) == len(links), "link names must be unique"
+    ujoints: dict[str, "UrdfJoint"] = {}
+    child_joints: dict[str, list[str]] = {l.name: [] for l in links}
+    for i in range(1, len(links)):
+        l, j = links[i], joints[i]
+        assert 0 <= l.parent < i, (
+            f"link {l.name!r}: parent index {l.parent} must precede it"
+        )
+        assert j.joint_type in ("revolute", "continuous", "fixed"), (
+            f"unsupported joint type {j.joint_type!r} for {l.name!r}"
+        )
+        jname = j.name or f"{l.name}_joint"
+        assert jname not in ujoints, f"duplicate joint name {jname!r}"
+        if j.origin_rot is not None:
+            from .rotations_np import matrix_to_rpy
+
+            rpy = matrix_to_rpy(np.asarray(j.origin_rot, np.float64))
+        else:
+            rpy = np.asarray(j.origin_rpy, np.float64).copy()
+        ujoints[jname] = UrdfJoint(
+            jname, j.joint_type, links[l.parent].name, l.name,
+            np.asarray(j.origin_xyz, np.float64).copy(),
+            rpy,
+            np.asarray(j.axis, np.float64).copy(),
+            limit_lower=j.limit_lower, limit_upper=j.limit_upper,
+            limit_effort=j.limit_effort, limit_velocity=j.limit_velocity,
+            damping=j.damping,
+        )
+        # insertion order, NOT alphabetical: body numbering follows the
+        # caller's vector order like the reference's sequential AddBody
+        child_joints[links[l.parent].name].append(jname)
+
+    um = UrdfModel(
+        name=name,
+        links=urdf_links,
+        joints=ujoints,
+        root_link=links[0].name,
+        child_joints=child_joints,
+    )
+    return compile_model(um, floating)
 
 
 def compile_model(urdf: UrdfModel, floating: bool = True) -> RobotModel:

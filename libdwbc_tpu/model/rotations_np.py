@@ -21,6 +21,23 @@ def rpy_to_matrix(rpy: np.ndarray) -> np.ndarray:
     return Rz @ Ry @ Rx
 
 
+def matrix_to_rpy(R: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`rpy_to_matrix` (extrinsic x-y-z / intrinsic ZYX).
+
+    Lets programmatic model construction accept rotation matrices (the
+    reference's ``Joint::joint_rotation_``) while the compiler's joint
+    records carry URDF rpy.  At the pitch singularity (|R[2,0]| = 1) the
+    roll/yaw split is chosen with yaw = 0."""
+    p = np.arcsin(np.clip(-R[2, 0], -1.0, 1.0))
+    if abs(R[2, 0]) < 1.0 - 1e-12:
+        r = np.arctan2(R[2, 1], R[2, 2])
+        y = np.arctan2(R[1, 0], R[0, 0])
+    else:  # gimbal lock: cos(p)=0
+        r = np.arctan2(-R[1, 2], R[1, 1])
+        y = 0.0
+    return np.array([r, p, y], dtype=np.float64)
+
+
 def skew_np(v: np.ndarray) -> np.ndarray:
     return np.array(
         [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]]

@@ -66,6 +66,23 @@ class RobotData:
                 f"model dof {self.model.model_dof}, bodies {self.model.nbody}"
             )
 
+    def InitModelWithLinkJoint(self, links, joints, name="programmatic",
+                               verbose: int = 0):
+        """Build the model programmatically from parallel Link/Joint vectors
+        — no URDF (``InitModelWithLinkJoint``, src/dwbc.cpp:2425-2471).
+
+        links/joints: lists of model.compile.LinkSpec / JointSpec, joints[i]
+        connecting links[i] to its parent (joints[0] = root joint)."""
+        from ..model.compile import compile_from_links
+
+        self.model = compile_from_links(list(links), list(joints), name=name)
+        self.kin = Kinematics(self.model)
+        if verbose:
+            print(
+                f"model '{self.model.name}': system dof {self.model.ndof}, "
+                f"model dof {self.model.model_dof}, bodies {self.model.nbody}"
+            )
+
     @property
     def system_dof_(self):
         return self.model.ndof
@@ -409,6 +426,12 @@ class RobotData:
             else None
         )
         if hqp:
+            if self.cspace.NwJw.shape[-1] == 0:
+                # contact_dof ≤ 6: no free contact space, nothing to
+                # redistribute (reference guard `if (contact_dof > 0)`,
+                # src/dwbc.cpp:1424)
+                self.cf_redis_qp_ = jnp.zeros(0, dtype=self.dtype)
+                return 1
             A_const, A_rot = self._constraint_blocks(st)
             sol = solve_contact_redistribution_qp(
                 torque_input, self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
@@ -1364,3 +1387,9 @@ class RobotData:
     # convenience: full tick
     def torque_command(self):
         return np.asarray(self.torque_grav_ + self.torque_task_ + self.torque_contact_)
+
+    def GetControlTorque(self):
+        """τ_cmd = τ_grav + τ_task + τ_contact — the reference's facade
+        convenience of the same name (include/dwbc.h:409, summed exactly as
+        rl_wbc_bridge.cpp:131-139 does)."""
+        return self.torque_command()
