@@ -33,14 +33,39 @@ def main():
                          "runtime), DCN-aware global ('hyp','roll') mesh, "
                          "per-process local shards. Launch one copy of this "
                          "script per host.")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (explicit multi-"
+                         "process launch instead of cluster env detection)")
+    ap.add_argument("--nprocs", type=int, default=None)
+    ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--cpu-devices", type=int, default=None,
+                    help="virtual CPU devices per process (loopback-DCN "
+                         "validation runs; sets gloo CPU collectives)")
+    ap.add_argument("--out", default=None, help="write result JSON here")
+    ap.add_argument("--spawn2", action="store_true",
+                    help="convenience: launch TWO local processes over "
+                         "loopback DCN (2 virtual CPU devices each) and "
+                         "record the artifact — the minimal real multi-"
+                         "process validation this environment can run")
     args = ap.parse_args()
 
+    if args.spawn2:
+        return _spawn2(args)
+
     if args.distributed:
+        if args.cpu_devices:
+            os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
+
+        if args.cpu_devices:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
         from libdwbc_tpu.parallel.mesh import init_distributed
 
-        init_distributed()
+        init_distributed(coordinator=args.coordinator,
+                         num_processes=args.nprocs, process_id=args.pid)
         return _run_distributed(args)
     if args.devices == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -160,13 +185,49 @@ def _run_distributed(args):
         res, best, cost = step(qs, qds, (f0, f1))
     jax.block_until_ready(res.torque_cmd)
     dt = (time.perf_counter() - t0) / args.iters
-    if jax.process_index() == 0:
-        print(json.dumps(dict(
-            hosts=jax.process_count(),
-            devices=len(jax.devices()),
-            grid=[H, R],
-            solves_per_sec=round(H * R / dt, 1),
-        )))
+    # best/cost come from a CROSS-HOST argmin collective (DCN) — read them
+    # on every process (they are fully replicated) to prove the reduction
+    out = dict(
+        hosts=jax.process_count(),
+        process_id=jax.process_index(),
+        devices=len(jax.devices()),
+        local_devices=jax.local_device_count(),
+        mesh={k: int(v) for k, v in mesh.shape.items()},
+        grid=[int(H), int(R)],
+        solves_per_sec=round(H * R / dt, 1),
+        best_hypothesis=int(best),
+        best_cost=float(cost),
+    )
+    print(json.dumps(out), flush=True)
+    if args.out and jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+def _spawn2(args):
+    """Launch 2 local processes over loopback DCN; write scaling artifact."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    out = args.out or os.path.join(
+        os.path.dirname(here), "scaling_r04_distributed.json")
+    base = [
+        sys.executable, here, "--distributed",
+        "--coordinator", "localhost:29408", "--nprocs", "2",
+        "--cpu-devices", "2",
+        "-B", str(args.batch_per_device), "--iters", str(args.iters),
+    ]
+    p1 = subprocess.Popen(base + ["--pid", "1"],
+                          stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    p0 = subprocess.run(base + ["--pid", "0", "--out", out],
+                        capture_output=True, text=True, timeout=900)
+    out1, err1 = p1.communicate(timeout=120)
+    if p0.returncode != 0:
+        sys.stderr.write(p0.stderr[-4000:])
+        sys.exit(p0.returncode)
+    print(p0.stdout.strip())
+    print(out1.decode().strip())
+    print(f"artifact: {out}")
 
 
 if __name__ == "__main__":

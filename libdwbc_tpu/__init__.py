@@ -30,17 +30,24 @@ if _os.environ.get("DWBC_ALLOW_BF16_MATMUL", "0") != "1":
 
     _jax.config.update("jax_default_matmul_precision", "float32")
 
-from .model.compile import RobotModel, compile_urdf  # noqa: F401
+from .model.compile import (  # noqa: F401
+    JointSpec, LinkSpec, RobotModel, compile_from_links, compile_urdf,
+)
 from .wbc import types  # noqa: F401
 from .wbc.pipeline import CompiledTick, PipelineConfig, standard_tocabi_config  # noqa: F401
+from .wbc.reduced_tick import ReducedTick  # noqa: F401
 from .wbc.robot import RobotData  # noqa: F401
 
 __all__ = [
     "RobotData",
     "RobotModel",
     "CompiledTick",
+    "ReducedTick",
     "PipelineConfig",
     "standard_tocabi_config",
     "compile_urdf",
+    "compile_from_links",
+    "LinkSpec",
+    "JointSpec",
     "types",
 ]

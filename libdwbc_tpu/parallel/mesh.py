@@ -94,7 +94,12 @@ def init_distributed(coordinator: str | None = None,
     a single-process run: if no cluster is configured and no coordinator is
     given, it is a no-op returning False.
     """
-    if jax.process_count() > 1:
+    # Must not touch the backend before initialize (jax.process_count()
+    # would initialise XLA and make initialize() raise) — probe the
+    # distributed client state directly.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return True  # already initialized
     env_configured = any(
         k in __import__("os").environ
@@ -126,9 +131,18 @@ def make_global_mesh(n_hyp: int | None = None):
     if n_hyp is None:
         n_hyp = per_host  # hypotheses within a host, rollouts across hosts
     assert per_host % n_hyp == 0, (n_hyp, per_host)
-    dev_mesh = mesh_utils.create_hybrid_device_mesh(
-        (n_hyp, per_host // n_hyp), (1, nproc), devices=jax.devices()
-    )
+    try:
+        # TPU pods: granule = slice, DCN hops isolated on the 'roll' axis
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            (n_hyp, per_host // n_hyp), (1, nproc), devices=jax.devices()
+        )
+    except ValueError:
+        # CPU / single-slice multi-process (loopback-DCN validation):
+        # devices carry no slice_index — group by process instead
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            (n_hyp, per_host // n_hyp), (1, nproc), devices=jax.devices(),
+            process_is_granule=True,
+        )
     return Mesh(dev_mesh, ("hyp", "roll"))
 
 

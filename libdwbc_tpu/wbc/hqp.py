@@ -75,6 +75,10 @@ def solve_task_level_qp(
     iters: int = 25,
     warm=None,       # optional (x, lam) from a previous tick's solve
     constraint_row_mask=None,  # (...,k) 1=active cone/ZMP row (masked ticks)
+    limit_rows=None,  # static index tuple: which torque rows get ± limit
+                      # pairs (reduced path: actuated co rows only — the
+                      # virtual lumped-body dofs are unbounded, so their
+                      # rows are dropped statically instead of inf-masked)
 ) -> TaskQPResult:
     """One hierarchy level's QP (src/dwbc.cpp:941-1127)."""
     m = Ntorque_task.shape[-2]
@@ -103,12 +107,22 @@ def solve_task_level_qp(
 
     rows = []
     ubs = []
+    n_lim = m
     if torque_limit is not None:
         blk = jnp.concatenate([Ntorque_task, NwJw], axis=-1)          # (...,m,nv)
+        tl, tb = torque_limit, tau_base
+        if limit_rows is not None:
+            import numpy as _np
+
+            li = _np.asarray(limit_rows)
+            n_lim = len(li)
+            blk = blk[..., li, :]
+            tl = tl[..., li]
+            tb = tb[..., li]
         rows.append(blk)
         rows.append(-blk)
-        ubs.append(torque_limit - tau_base)
-        ubs.append(torque_limit + tau_base)
+        ubs.append(tl - tb)
+        ubs.append(tl + tb)
 
     # contact cone/ZMP rows: -(A_const A_rot J̄ᵀ_act) [Ntorque | NwJw] x ≤ -bA
     CM = A_const @ A_rot                                              # (...,k,6nc)
@@ -132,7 +146,7 @@ def solve_task_level_qp(
     # torque-limit rows come as a ± pair with finite bounds → let the
     # Pallas kernel fold the mirrored block instead of storing it
     sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm,
-                   mirror=m if torque_limit is not None else 0)
+                   mirror=n_lim if torque_limit is not None else 0)
     return TaskQPResult(
         f_star_delta=sol.x[..., :t],
         contact_qp=sol.x[..., t:],
@@ -155,6 +169,7 @@ def solve_contact_redistribution_qp(
     tangential_weight: bool = False,
     warm=None,
     constraint_row_mask=None,
+    limit_rows=None,  # static: which torque rows get ± limit pairs
 ):
     """Final redistribution QP over f_c,red (src/dwbc.cpp:1396-1561).
 
@@ -186,11 +201,21 @@ def solve_contact_redistribution_qp(
 
     rows = []
     ubs = []
+    n_lim = m
     if torque_limit is not None:
-        rows.append(NwJw)
-        rows.append(-NwJw)
-        ubs.append(torque_limit - torque_input)
-        ubs.append(torque_limit + torque_input)
+        blk, tl, ti = NwJw, torque_limit, torque_input
+        if limit_rows is not None:
+            import numpy as _np
+
+            li = _np.asarray(limit_rows)
+            n_lim = len(li)
+            blk = blk[..., li, :]
+            tl = tl[..., li]
+            ti = ti[..., li]
+        rows.append(blk)
+        rows.append(-blk)
+        ubs.append(tl - ti)
+        ubs.append(tl + ti)
 
     CM = -(A_const @ A_rot)
     JT_act = J_C_INV_T[..., :, -m:]
@@ -205,5 +230,5 @@ def solve_contact_redistribution_qp(
     A = jnp.concatenate(rows, axis=-2)
     ub = jnp.concatenate(ubs, axis=-1)
     sol = solve_qp(H, g, A, None, ub, iters=iters, warm=warm,
-                   mirror=m if torque_limit is not None else 0)
+                   mirror=n_lim if torque_limit is not None else 0)
     return sol

@@ -70,12 +70,21 @@ def solve_cascade(
     y0: jnp.ndarray,
     solve_level0: bool = False,
     qp_iters: int = 25,
+    timers: list | None = None,
 ) -> LQPResult:
     """Run the lexicographic cascade.
 
     y0: seed satisfying level 0's equality (the reference seeds
     y = [-A⁻¹B; 0], src/dwbc.cpp:4381, and skips solving level 0 unless
     ``solvefirst`` is used — set solve_level0=True for that behavior).
+
+    timers: optional list — when given, each solved level appends
+    ``{"level", "update_us", "solve_us"}`` with host-visible wall times for
+    its QP assembly and solve (the reference's per-hierarchy
+    qp_update_time_step_/qp_solve_time_step_ capture,
+    include/dwbc_hqp.h:98-102, src/dwbc_hqp.cpp:277-280, 381-383).  Timing
+    mode forces eager per-level synchronization — use it on the eager
+    facade path, never inside jit (a traced clock would be meaningless).
     """
     nv = y0.shape[-1]
     dtype = y0.dtype
@@ -102,6 +111,9 @@ def solve_cascade(
     pres = jnp.zeros(batch, dtype=dtype)
 
     def level_qp(i, y, extra_prev):
+        import time as _time
+
+        t_start = _time.perf_counter() if timers is not None else 0.0
         L = lv[i]
         Z = Zs[i - 1] if i > 0 else jnp.eye(nv, dtype=dtype)
         nu = Z.shape[-1]
@@ -150,15 +162,44 @@ def solve_cascade(
         if rows:
             Am = jnp.concatenate(rows, axis=-2)
             ub = jnp.concatenate(ubs, axis=-1)
+            if timers is not None:
+                import jax as _jax
+
+                _jax.block_until_ready((H, g, Am, ub))
+                t_upd = _time.perf_counter()
             sol = solve_qp(H, g, Am, None, ub, iters=qp_iters)
             x = sol.x
+            if timers is not None:
+                import jax as _jax
+
+                _jax.block_until_ready(x)
+                t_end = _time.perf_counter()
+                timers.append(dict(
+                    level=i,
+                    update_us=round((t_upd - t_start) * 1e6, 1),
+                    solve_us=round((t_end - t_upd) * 1e6, 1),
+                ))
             sgap, spres = sol.gap, sol.primal_res
         else:
             # pure equality least squares: u = -(Huu)⁻¹ gu (regularized)
+            if timers is not None:
+                import jax as _jax
+
+                _jax.block_until_ready((Huu, gu))
+                t_upd = _time.perf_counter()
             Hr = Huu + 1e-10 * jnp.eye(nu, dtype=dtype)
             x = jnp.concatenate(
                 [-jnp.linalg.solve(Hr, gu[..., None])[..., 0]], axis=-1
             )
+            if timers is not None:
+                import jax as _jax
+
+                _jax.block_until_ready(x)
+                timers.append(dict(
+                    level=i,
+                    update_us=round((t_upd - t_start) * 1e6, 1),
+                    solve_us=round((_time.perf_counter() - t_upd) * 1e6, 1),
+                ))
             sgap = jnp.zeros(batch, dtype=dtype)
             spres = jnp.zeros(batch, dtype=dtype)
 

@@ -570,18 +570,39 @@ class RobotData:
         return 1
 
     def CalcControlTorqueLQP(self, init: bool = True):
-        """Solve the cascade and recover actuated torque (src/dwbc.cpp:4432)."""
+        """Solve the cascade and recover actuated torque (src/dwbc.cpp:4432).
+
+        Per-level QP assembly/solve wall times are captured into
+        ``lqp_level_times_`` (the reference's qp_update/solve_time_step
+        fields, include/dwbc_hqp.h:98-102) and surfaced by GetQPStats."""
         from . import lqp
 
+        timers: list = []
         res = lqp.solve_cascade(
-            self._lqp_levels, self._lqp_y0, qp_iters=self.qp_iters
+            self._lqp_levels, self._lqp_y0, qp_iters=self.qp_iters,
+            timers=timers,
         )
+        self._record_lqp_times(timers)
         self.lqp_result = res
         st = self.state
         self.torque_lqp_ = lqp.lqp_torque_from_solution(
             res.y, st.A, st.B, self.J_C
         )
         return np.asarray(self.torque_lqp_)
+
+    def _record_lqp_times(self, timers: list):
+        """Accumulate per-level step times + running maxima
+        (HQP_Hierarch::qp_update_time_max_ analog, src/dwbc_hqp.cpp:615-626).
+        """
+        self.lqp_level_times_ = timers
+        if not hasattr(self, "lqp_level_times_max_"):
+            self.lqp_level_times_max_ = {}
+        for t in timers:
+            mx = self.lqp_level_times_max_.setdefault(
+                t["level"], dict(update_us=0.0, solve_us=0.0)
+            )
+            mx["update_us"] = max(mx["update_us"], t["update_us"])
+            mx["solve_us"] = max(mx["solve_us"], t["solve_us"])
 
     # ------------------------------------- acceleration-level JACC QPs
     def CalcTaskControlTorqueJACC(self, init: bool = True):
@@ -886,8 +907,10 @@ class RobotData:
         lumped-wrench mapping + gravity, src/dwbc.cpp:3442-3443 pattern)."""
         from . import lqp
 
+        timers: list = []
         res = lqp.solve_cascade(self._lqp_r_levels, self._lqp_r_y0,
-                                qp_iters=self.qp_iters)
+                                qp_iters=self.qp_iters, timers=timers)
+        self._record_lqp_times(timers)
         self.lqp_r_result = res
         idx = self._ridx
         rd = self.rdyn
@@ -980,10 +1003,12 @@ class RobotData:
         (tests/sp_test/dof_comparison.cpp:229-252)."""
         from . import lqp
 
+        timers: list = []
         res = lqp.solve_cascade(
             self._lqp_nc_levels, self._lqp_nc_y0, solve_level0=True,
-            qp_iters=self.qp_iters,
+            qp_iters=self.qp_iters, timers=timers,
         )
+        self._record_lqp_times(timers)
         self.lqp_nc_result = res
         rd = self.rdyn
         qdd_nc = res.y
@@ -1319,7 +1344,10 @@ class RobotData:
 
     def GetQPStats(self):
         """Solver health summary (the reference's data_confirmation role:
-        success counters over repeated solves, sp_test/data_confirmation)."""
+        success counters over repeated solves, sp_test/data_confirmation) +
+        per-level LQP timing (the reference's per-hierarchy
+        qp_update/solve_time_step_/max_ fields, include/dwbc_hqp.h:98-102,
+        aggregated at src/dwbc.cpp:4436-4453)."""
         n = len(self.qp_history_)
         return dict(
             solves=n,
@@ -1327,6 +1355,8 @@ class RobotData:
             fail=self.qp_fail_count_,
             worst_primal_res=max((h["primal_res"] for h in self.qp_history_), default=0.0),
             worst_gap=max((h["gap"] for h in self.qp_history_), default=0.0),
+            lqp_level_times=getattr(self, "lqp_level_times_", []),
+            lqp_level_times_max=getattr(self, "lqp_level_times_max_", {}),
         )
 
     # ---------------------------------------------------------- centroidal
