@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--warm-iters", type=int, default=7)
     ap.add_argument("--xla", action="store_true",
                     help="also time the XLA MaskedTick for comparison")
+    ap.add_argument("--switch", action="store_true",
+                    help="also time the per-mode lax.switch formulation "
+                         "(parallel/hypotheses.py) for comparison")
+    ap.add_argument("--switch-batch", type=int, default=512)
+    ap.add_argument("--out", default=None,
+                    help="write all results to this JSON artifact")
     args = ap.parse_args()
 
     import jax
@@ -106,32 +112,87 @@ def main():
         r = rtt()
         qq, diag = chained(*a)
         float(jnp.sum(qq))
-        t0 = time.perf_counter()
-        qq, diag = chained(*a)
-        float(jnp.sum(qq))
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qq, diag = chained(*a)
+            float(jnp.sum(qq))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
         per_tick = max(dt - r, 1e-9) / K
         out = dict(
             metric=f"masked_hypothesis_solves_per_sec_{label}",
             value=round(B / per_tick, 1),
             unit="solves/s",
             batch=B, chained_ticks=K, warm_iters=args.warm_iters,
+            run_spread=round((max(times) - min(times)) / dt, 4),
             qp_gap_max=float(np.asarray(diag[0]).max()),
             qp_primal_res_max=float(np.asarray(diag[1]).max()),
         )
         print(json.dumps(out), flush=True)
         return out
 
+    results = []
     from libdwbc_tpu.wbc.fused import FusedTick
 
     ft = FusedTick(model, cfg, dtype=jnp.float32, masked=True)
-    run(ft, "fused")
+    results.append(run(ft, "fused"))
 
     if args.xla:
         from libdwbc_tpu.wbc.masked import MaskedTick
 
         mt = MaskedTick(model, cfg, dtype=jnp.float32)
-        run(mt, "xla")
+        results.append(run(mt, "xla"))
+
+    if args.switch:
+        # per-mode lax.switch comparison (parallel/hypotheses.py): under
+        # vmap every branch executes for every scenario — the cost the
+        # masked single-graph formulation avoids.  Cold solves (the switch
+        # path has no cross-tick warm carry plumbing), fewer scenarios so
+        # it finishes; normalized to solves/s either way.
+        from libdwbc_tpu.parallel.hypotheses import (
+            contact_mode_ticks, hypothesis_sweep,
+        )
+
+        Bs = min(B, args.switch_batch)
+        modes, ticks = contact_mode_ticks(
+            model, cfg.contacts, cfg.task_specs, cfg.torque_limit,
+            qp_iters=12,
+        )
+        # map each scenario's mask to its contact_mode_ticks branch index
+        order = {tuple(int(b) for b in m): i for i, m in enumerate(modes)}
+        midx = np.array(
+            [order[tuple(int(x) for x in m)] for m in masks[:Bs]], np.int32
+        )
+        sweep = jax.jit(lambda mi, qb, qdb, fsb: hypothesis_sweep(
+            model, modes, ticks, mi, qb, qdb, fsb))
+        aa = (jax.device_put(midx), jax.device_put(qs[:Bs]),
+              jax.device_put(qds[:Bs]),
+              (jax.device_put(f1[:Bs]), jax.device_put(f2[:Bs])))
+        tau, cost, best = sweep(*aa)
+        jax.block_until_ready(tau)
+        r = rtt()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tau, cost, best = sweep(*aa)
+            jax.block_until_ready(tau)
+            times.append(time.perf_counter() - t0)
+        dt = max(float(np.median(times)) - r, 1e-9)
+        out = dict(
+            metric="masked_hypothesis_solves_per_sec_switch",
+            value=round(Bs / dt, 1),
+            unit="solves/s",
+            batch=Bs, chained_ticks=1, warm_iters=None,
+            note="lax.switch per-mode ticks (all branches execute under "
+                 "vmap); cold solves, single tick per measurement",
+        )
+        print(json.dumps(out), flush=True)
+        results.append(out)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(dict(results=results), f, indent=1)
 
 
 if __name__ == "__main__":

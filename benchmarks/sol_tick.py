@@ -47,12 +47,20 @@ VPU_PEAK_F32 = 8 * 128 * 4 * 0.94e9 * 2  # v5e: lanes×ALUs×clock×(FMA=2) ≈ 
 
 
 def _flops_of(fn, *args, **kwargs):
-    """Exact optimized-HLO flop count on the CPU backend (counting only —
-    nothing is executed)."""
+    """Algorithmic flop count of the traced program (counting only —
+    nothing is executed).
+
+    PRE-optimization HLO cost analysis: the post-optimization count is
+    inflated ~20× by CPU fusion rematerialization (instructions duplicated
+    into multiple fusions are counted once per fusion — measured 14.6M vs
+    712k flops/solve on the same program), which says nothing about the
+    arithmetic the Pallas lowering executes.  The pre-opt count is the
+    program as written, with structural zeros already elided by the
+    element-leading construction."""
     import jax
 
     lowered = jax.jit(fn, **kwargs).lower(*args)
-    cost = lowered.compile().cost_analysis()
+    cost = lowered.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
     return float(cost["flops"])

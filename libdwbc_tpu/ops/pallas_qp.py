@@ -173,7 +173,9 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
             # slacks/multipliers back to the interior so the IPM can move
             x0 = x0_ref[:]
             s0 = jnp.maximum(d - matvec_C(x0), 1e-4)
-            lam0 = jnp.maximum(lam0_ref[:], 1e-4)
+            # upper clip: a prior ε-infeasible solve's diverged dual must
+            # not poison the restart (see ops/tick_kernel.py::_ipm)
+            lam0 = jnp.clip(lam0_ref[:], 1e-4, w_cap)
         else:
             x0 = jnp.zeros_like(g)
             s0 = jnp.maximum(d - matvec_C(x0), 1.0)
@@ -213,10 +215,12 @@ def _make_kernel(n: int, m: int, iters: int, ridge: float, warm: bool = False,
             # where-select (0·NaN = NaN, so a zero step length would still
             # poison the iterate).
             ok = jnp.sum(dx * 0.0, axis=0) == 0.0
+            # λ capped at w_cap: dual safeguard for ε-infeasible rows
+            # (see ops/tick_kernel.py::_ipm)
             return (
                 jnp.where(ok, x + a_pc * dx, x),
                 jnp.where(ok, s + a_pc * ds, s),
-                jnp.where(ok, lam + a_dc * dlam, lam),
+                jnp.where(ok, jnp.minimum(lam + a_dc * dlam, w_cap), lam),
             )
 
         x, s, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))

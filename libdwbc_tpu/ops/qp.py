@@ -215,7 +215,10 @@ def solve_qp(
         )
         s_floor_w = 1e-4 if f32 else 1e-6
         s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), s_floor_w)
-        lam0 = jnp.maximum(lam_w, s_floor_w)
+        # clip ABOVE too: a prior ε-infeasible solve legitimately diverges
+        # its dual (0·x ≤ −ε rows from masked lanes + roundoff at an
+        # active limit) — it must not poison this restart
+        lam0 = jnp.clip(lam_w, s_floor_w, 1e8 if f32 else 1e12)
         nu0 = jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype)
     else:
         x0 = jnp.zeros(
@@ -325,8 +328,12 @@ def solve_qp(
                 ..., None
             ]
             a_d = a_p
+        # λ capped at w_cap: dual safeguard — on an infeasible row the dual
+        # correctly diverges; keep it finite so gap/warm-carry stay usable
+        # (primal_res still reports the violation)
         return (
-            x + a_p * dx, s + a_p * ds, lam + a_d * dlam, nu + a_d * dnu
+            x + a_p * dx, s + a_p * ds,
+            jnp.minimum(lam + a_d * dlam, w_cap), nu + a_d * dnu
         ), None
 
     (x, s, lam, nu), _ = jax.lax.scan(body, (x0, s0, lam0, nu0), None, length=iters)

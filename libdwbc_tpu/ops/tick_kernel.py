@@ -816,6 +816,11 @@ class TickProgram:
             bA0=bA0,
             health=health,
         )
+        if self.masked:
+            # per-lane active contact dof (Σ row_mask) — the reference's
+            # `if (contact_dof > 6)` redistribution guard
+            # (src/dwbc.cpp:1424) becomes a per-lane diagnostic gate
+            out["active_cdof"] = jnp.sum(row_mask, axis=0)
         return out
 
     # ------------------------------------------------------------ the IPM
@@ -922,7 +927,11 @@ class TickProgram:
         if warm is not None:
             x0, lam0_in = warm
             s0 = jnp.maximum(d - matvec_C(x0), 1e-4)
-            lam0 = jnp.maximum(lam0_in, 1e-4)
+            # clip ABOVE too: a prior tick that hit an ε-infeasible row
+            # (e.g. a fully-masked lane whose τ sits on the torque limit
+            # to f32 roundoff: 0·x ≤ −ε) legitimately diverges its dual —
+            # it must not poison this restart
+            lam0 = jnp.clip(lam0_in, 1e-4, w_cap)
         else:
             x0 = jnp.zeros((n,) + d.shape[1:], dtype)
             s0 = jnp.maximum(d, 1.0)
@@ -949,10 +958,14 @@ class TickProgram:
                 a_pc = live * jnp.minimum(alpha_max(s_, ds), alpha_max(lam, dlam))
                 a_dc = a_pc
             ok = jnp.sum(dx * 0.0, axis=0) == 0.0
+            # dual safeguard: on an infeasible row (0·x ≤ −ε from masked
+            # lanes + roundoff at an active limit) λ grows without bound;
+            # cap at w_cap so gap/warm-carry stay finite — primal_res
+            # still reports the ε-violation
             return (
                 jnp.where(ok, x + a_pc[None] * dx, x),
                 jnp.where(ok, s_ + a_pc[None] * ds, s_),
-                jnp.where(ok, lam + a_dc[None] * dlam, lam),
+                jnp.where(ok, jnp.minimum(lam + a_dc[None] * dlam, w_cap), lam),
             )
 
         x, s_, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
@@ -1044,6 +1057,17 @@ class TickProgram:
             )
             warm_out.append((x, lam))
             tau_contact = tau_contact + el.mv(NwJw, x)
+            if crow is not None:
+                # single-support lanes (active_cdof ≤ 6) have NO
+                # redistribution problem — the reference skips the QP
+                # entirely (`if (contact_dof > 6)`, src/dwbc.cpp:1424);
+                # here the padded QP still runs (its NwJw columns are
+                # zero, τ_contact untouched) but an ε-infeasible dead
+                # row (τ at the limit + f32 roundoff ⇒ 0·x ≤ −ε) must
+                # not leak into the lane's diagnostics
+                live_redis = (pre["active_cdof"] > 6.5).astype(g_.dtype)
+                g_ = g_ * live_redis
+                p_ = p_ * live_redis
             gap = jnp.maximum(gap, g_)
             pres = jnp.maximum(pres, p_)
 

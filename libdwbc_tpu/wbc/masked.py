@@ -387,8 +387,14 @@ class MaskedTick:
             torque_contact = torque_contact + jnp.einsum(
                 "...mc,...c->...m", cs.NwJw, sol.x
             )
-            gap = jnp.maximum(gap, sol.gap)
-            pres = jnp.maximum(pres, sol.primal_res)
+            # diagnostics gated by the reference's redistribution guard
+            # (`if (contact_dof > 6)`, src/dwbc.cpp:1424): single-support
+            # lanes have no redistribution problem — the padded QP's dead
+            # rows can be ε-infeasible (τ at the limit + roundoff) and
+            # must not leak into the lane's gap/pres
+            live_redis = (jnp.sum(row_mask, axis=-1) > 6.5).astype(self.dtype)
+            gap = jnp.maximum(gap, sol.gap * live_redis)
+            pres = jnp.maximum(pres, sol.primal_res * live_redis)
 
         torque_cmd = torque_grav + torque_task + torque_contact
         cforce = dyn.contact_force_from_torque(torque_cmd, cs.J_C_INV_T, P_C)

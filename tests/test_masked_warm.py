@@ -140,3 +140,41 @@ def test_masked_loop_with_warm_and_fallback(masked_tick):
     loop_plain = make_control_loop(tick, K=2)
     with pytest.raises(ValueError, match="contact_mask"):
         loop_plain(q[0], qd[0], (jnp.zeros(6), jnp.zeros(3)), cmask[0])
+
+
+def test_masked_warm_chain_dual_stays_bounded(tocabi_model):
+    """Regression (round 4): on a single-support lane the padded
+    redistribution QP has only dead rows, and τ sitting exactly at the
+    torque limit (f32 roundoff from the preceding task QP) makes one of
+    them ε-infeasible — 0·x ≤ −ε.  The dual then legitimately diverges;
+    before the w_cap dual safeguard + warm-clip + diagnostic gating
+    (reference guard `if (contact_dof > 6)`, src/dwbc.cpp:1424) the
+    lane's qp_gap reached 1e27→NaN by tick 3 of a warm chain and the
+    exploded λ poisoned every later restart."""
+    from libdwbc_tpu.wbc.fused import FusedTick
+    from libdwbc_tpu.wbc.pipeline import standard_tocabi_config
+
+    model = tocabi_model
+    cfg = standard_tocabi_config(model, qp_iters=12)
+    ft = FusedTick(model, cfg, dtype=jnp.float32, backend="xla", masked=True)
+    B = 6
+    rng = np.random.default_rng(0)
+    q = full_q(CASE_Q[1]).astype(np.float32)
+    qs = np.tile(q, (B, 1))
+    qs[:, 6:39] += 0.02 * rng.standard_normal((B, 33)).astype(np.float32)
+    qds = np.zeros((B, model.ndof), np.float32)
+    fs = tuple(
+        np.tile(f, (B, 1)).astype(np.float32) for f in CASE_FSTAR[1]
+    )
+    masks = np.array([[1, 1], [1, 0], [0, 1]], np.float32)[np.arange(B) % 3]
+    warm = ft.init_warm((B,))
+    for k in range(8):
+        res, warm = ft._tick_impl(
+            qs, qds, fs, contact_mask=masks, warm=warm,
+            qp_iters=12 if k == 0 else 7,
+        )
+    g = np.asarray(res.qp_gap)
+    assert np.isfinite(g).all() and g.max() < 1e-4, g
+    assert np.isfinite(np.asarray(res.torque_cmd)).all()
+    lam_max = max(float(np.asarray(l).max()) for _, l in warm)
+    assert lam_max < 1e6, lam_max
