@@ -109,14 +109,16 @@ def main():
             res, w = tick._tick_impl(qq, qqd, fstars_, warm=w, qp_iters=WARM_ITERS)
             dq = 1e-6 * jnp.tanh(res.torque_cmd[:, : model.model_dof])
             qq = qq.at[:, 6 : 6 + model.model_dof].add(dq)
-            return (qq, qqd, w), (res.qp_gap[0], res.qp_primal_res[0])
+            # max over the WHOLE batch (a [0] index here once hid garbage
+            # on ~0.5% of lanes — the f32 near-singular-task bug)
+            return (qq, qqd, w), (jnp.max(res.qp_gap), jnp.max(res.qp_primal_res))
 
         (qq, _, _), diag = jax.lax.scan(
             body, (q1, qd0, warm), None, length=K - 1
         )
         diag = (
-            jnp.concatenate([res0.qp_gap[0][None], diag[0]]),
-            jnp.concatenate([res0.qp_primal_res[0][None], diag[1]]),
+            jnp.concatenate([jnp.max(res0.qp_gap)[None], diag[0]]),
+            jnp.concatenate([jnp.max(res0.qp_primal_res)[None], diag[1]]),
         )
         return qq, diag
 

@@ -59,7 +59,7 @@ def _chained(jax, jnp, tick, model, K, warm_iters):
                                      qp_iters=warm_iters)
             dq = 1e-6 * jnp.tanh(res.torque_cmd[:, : model.model_dof])
             qq = qq.at[:, 6 : 6 + model.model_dof].add(dq)
-            return (qq, qqd, w), (res.qp_gap[0], res.qp_primal_res[0])
+            return (qq, qqd, w), (jnp.max(res.qp_gap), jnp.max(res.qp_primal_res))
 
         (qq, _, _), diag = jax.lax.scan(body, (q1, qd0, warm), None,
                                         length=K - 1)

@@ -307,12 +307,28 @@ def solve_qp(
         # corrector step with Mehrotra centering + second-order term.
         target = (sigma * mu)[..., None] - ds_a * dlam_a
         dx, ds, dlam, dnu = newton_step(fac, s, lam, nu, target)
-        # sanitize BEFORE the step-length computation (a NaN in ds would
-        # otherwise propagate through alpha_max into the iterate)
-        dx = jnp.nan_to_num(dx)
-        ds = jnp.nan_to_num(ds)
-        dlam = jnp.nan_to_num(dlam)
-        dnu = jnp.nan_to_num(dnu)
+        # Non-finite guard, stricter than the Pallas kernels': a lane whose
+        # f32 KKT factorization broke (κ(K) beyond f32 at w≈w_cap) must
+        # SKIP its step — and so must a lane whose huge-but-finite step
+        # would overflow the NEXT iterate.  nan_to_num-and-step-anyway was
+        # measured to walk ~0.5% of a 0.02-rad perturbed f32 batch to
+        # ±3e38 garbage torques; the guard keeps the last good iterate
+        # with honest gap/pres instead.  (The bound 1e15·(1+|x|) is far
+        # above any legal IPM step at these scales and far below f32
+        # overflow amplified by one Gram product.)
+        step_mag = jnp.max(jnp.abs(jnp.nan_to_num(dx, nan=jnp.inf)), axis=-1)
+        x_mag = jnp.max(jnp.abs(x), axis=-1)
+        ok = (
+            (step_mag < 1.0e15 * (1.0 + x_mag))
+            & (jnp.sum(ds * 0.0, axis=-1) == 0.0)
+            & (jnp.sum(dlam * 0.0, axis=-1) == 0.0)
+            & (jnp.sum(dnu * 0.0, axis=-1) == 0.0)
+        )
+        dx = jnp.where(ok[..., None], jnp.nan_to_num(dx), 0.0)
+        ds = jnp.where(ok[..., None], jnp.nan_to_num(ds), 0.0)
+        dlam = jnp.where(ok[..., None], jnp.nan_to_num(dlam), 0.0)
+        dnu = jnp.where(ok[..., None], jnp.nan_to_num(dnu), 0.0)
+        live = live * ok.astype(dtype)
         if warm is not None:
             # Separate primal/dual step lengths (standard Mehrotra) on WARM
             # solves only: a warm start made infeasible by a state change

@@ -740,11 +740,25 @@ class TickProgram:
             JtA = el.mm(J_task, A_inv)
             JAN = JtA - el.mm(el.mmT(JtA, J_C), Jbar)
             Mt = el.mmT(JAN, J_task)
-            Lam = el.psd_inverse(0.5 * (Mt + el.transpose(Mt)))
+
+            def _reg(Ms):
+                """κ-bounding relative ridge at f32 — the closed-form
+                analog of the reference's COD threshold on these task
+                operators (src/wbd.cpp:207-213); scale rationale +
+                measurements in wbc/dynamics._psd_inv_reg.  f64 exact."""
+                if dtype != jnp.float32:
+                    return Ms
+                k_ = Ms.shape[0]
+                dmax = Ms[0, 0] * 0.0
+                for i2 in range(k_):
+                    dmax = jnp.maximum(dmax, jnp.abs(Ms[i2, i2]))
+                return el.diag_add(Ms, [1e-4 * dmax] * k_)
+
+            Lam = el.psd_inverse(_reg(0.5 * (Mt + el.transpose(Mt))))
             Q = el.mm(Lam, JAN)[:, 6:]                    # (t, mdof)+bt
             WQt = el.mmT(W_inv, Q)                        # (mdof, t)+bt
             QWQ = el.mm(Q, WQt)
-            inv_mid = el.psd_inverse(0.5 * (QWQ + el.transpose(QWQ)))
+            inv_mid = el.psd_inverse(_reg(0.5 * (QWQ + el.transpose(QWQ))))
             J_kt = el.mm(WQt, inv_mid)
             JktLam = el.mm(J_kt, Lam)
             Ntorques.append(JktLam if prev_null is None

@@ -76,6 +76,33 @@ def _psd_inv(M):
     return jnp.swapaxes(Linv, -1, -2) @ Linv
 
 
+def _psd_inv_reg(M):
+    """κ-bounded SPD inverse for the TASK-SPACE operators (Λ_t, QW⁻¹Qᵀ).
+
+    The reference guards these with a COD pseudo-inverse thresholded at
+    1e-6 (``CalculateJKT``, src/wbd.cpp:207-213; COD_THRESHOLD,
+    include/dwbc_math.h:13) precisely because a task can approach
+    singularity in contact-consistent dynamics — at f64 its plain Λ
+    inverse reaches ~4e10 on near-singular poses and the downstream
+    J_kt·Λ product cancels it back down.  f32 cannot survive that
+    cancellation: ~0.3% of a 0.02-rad perturbed standing batch produced
+    NaN or ±1e4 Nm garbage torques (task Gram eigenvalue 3e-11 vs 2.7
+    measured on such a pose).  The closed-form f32 guard is a RELATIVE
+    Tikhonov ridge of 1e-4·max|diag| — chosen BELOW the smallest
+    structural eigenvalue ratio seen across the DoF sweep (~1e-3) so
+    well-posed directions are biased ≤1e-4 relative (measured τ bias vs
+    f64 on well-posed lanes: 8e-6 Nm), and far ABOVE the f32 Gram noise
+    so near-singular directions stay bounded (measured: the garbage
+    lanes return to τ≈36 Nm, pres 0).  f64 stays exact — the
+    golden-parity bar (1e-8..1e-12) lives there."""
+    if M.dtype == jnp.float32:
+        dmax = jnp.max(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)), axis=-1)
+        M = M + (1e-4 * dmax)[..., None, None] * jnp.eye(
+            M.shape[-1], dtype=M.dtype
+        )
+    return _psd_inv(M)
+
+
 def contact_space(J_C, A_inv) -> ContactSpace:
     """Contact-consistent dynamics factorization.
 
@@ -176,12 +203,12 @@ def task_jkt(J_task, A_inv, N_C, W_inv, exact_pinv: bool = False) -> TaskSpaceFa
     """
     JAN = J_task @ A_inv @ N_C                        # (...,t,n)
     M = JAN @ jnp.swapaxes(J_task, -1, -2)
-    Lambda_task = _psd_inv(0.5 * (M + jnp.swapaxes(M, -1, -2)))
+    Lambda_task = _psd_inv_reg(0.5 * (M + jnp.swapaxes(M, -1, -2)))
     Q = (Lambda_task @ JAN)[..., :, 6:]               # (...,t,n-6)
     QT = jnp.swapaxes(Q, -1, -2)
     QWQ = Q @ W_inv @ QT
     QWQ = 0.5 * (QWQ + jnp.swapaxes(QWQ, -1, -2))
-    inv_mid = pinv_psd(QWQ) if exact_pinv else _psd_inv(QWQ)
+    inv_mid = pinv_psd(QWQ) if exact_pinv else _psd_inv_reg(QWQ)
     J_kt = W_inv @ QT @ inv_mid
     return TaskSpaceFactors(Lambda_task, J_kt, Q)
 

@@ -156,11 +156,11 @@ class ReducedTick:
         """CalculateJKT_R (src/wbd.cpp:220-226) in reduced coordinates."""
         JAN = J_task_R @ csr.A_inv_N_C
         M = JAN @ jnp.swapaxes(J_task_R, -1, -2)
-        Lam = dyn._psd_inv(0.5 * (M + jnp.swapaxes(M, -1, -2)))
+        Lam = dyn._psd_inv_reg(0.5 * (M + jnp.swapaxes(M, -1, -2)))
         Q = (Lam @ JAN)[..., :, 6:]
         QT = jnp.swapaxes(Q, -1, -2)
         QWQ = Q @ csr.W_inv @ QT
-        J_kt = csr.W_inv @ QT @ dyn._psd_inv(
+        J_kt = csr.W_inv @ QT @ dyn._psd_inv_reg(
             0.5 * (QWQ + jnp.swapaxes(QWQ, -1, -2))
         )
         return J_kt, Lam
@@ -304,7 +304,7 @@ class ReducedTick:
             if kind == "nc":
                 # analytic nc-chain torque + resultant-force bookkeeping
                 # (src/dwbc.cpp:3292-3335)
-                Lam = dyn._psd_inv(
+                Lam = dyn._psd_inv_reg(
                     J_task @ A_inv_N_C_full @ jnp.swapaxes(J_task, -1, -2)
                 )
                 Lf = jnp.einsum("...tu,...u->...t", Lam, fstar)

@@ -1117,7 +1117,7 @@ class RobotData:
                     J_kt_R, Lambda, JR, csr.A_inv_N_C, prev_null
                 )
             elif is_nc and not is_co:
-                Lambda = dyn._psd_inv(
+                Lambda = dyn._psd_inv_reg(
                     J_task @ self.cspace.A_inv_N_C @ jnp.swapaxes(J_task, -1, -2)
                 )
                 J_task_NC = J_task[..., :, ncj]
@@ -1170,13 +1170,13 @@ class RobotData:
         """CalculateJKT_R (src/wbd.cpp:220-226)."""
         csr = self.cspace_r
         JAN = J_task_R @ csr.A_inv_N_C
-        Lambda = dyn._psd_inv(
+        Lambda = dyn._psd_inv_reg(
             0.5 * ((M := JAN @ jnp.swapaxes(J_task_R, -1, -2)) + jnp.swapaxes(M, -1, -2))
         )
         Q = (Lambda @ JAN)[..., :, 6:]
         QT = jnp.swapaxes(Q, -1, -2)
         QWQ = Q @ csr.W_inv @ QT
-        J_kt = csr.W_inv @ QT @ dyn._psd_inv(0.5 * (QWQ + jnp.swapaxes(QWQ, -1, -2)))
+        J_kt = csr.W_inv @ QT @ dyn._psd_inv_reg(0.5 * (QWQ + jnp.swapaxes(QWQ, -1, -2)))
         return J_kt, Lambda
 
     def ReducedCalcTaskControlTorque(self, hqp: bool = True, init: bool = True,
