@@ -124,6 +124,10 @@ def run_topology(jax, jnp, urdf, name, K, warm_iters, rtt, B=1024):
     q = np.zeros(model.nq, np.float32)
     q[2] = 0.92983
     q[model.nq - 1] = 1.0
+    # bent-knee double-support pose (the validated DoF-sweep configuration;
+    # a straight-leg zero pose sits at the knee singularity and the QPs
+    # fight unsolvable torque demands)
+    q[6 : 6 + 12] = np.array([0, 0, -0.24, 0.6, -0.36, 0] * 2, np.float32)
     qs = np.tile(q, (B, 1)).astype(np.float32)
     qs[:, 6 : 6 + model.model_dof] += 0.02 * rng.standard_normal(
         (B, model.model_dof)

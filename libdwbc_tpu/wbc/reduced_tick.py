@@ -8,8 +8,7 @@ exists in this repo twice: as the eager, per-call parity surface on the
 ``RobotData`` facade (wbc/robot.py) and — here — as ONE compiled, batched,
 warm-startable graph shaped like ``CompiledTick``.
 
-Why this wins on TPU (the "Time-Efficient" claim of the IEEE-Access paper,
-re-earned in XLA terms):
+What the reduction buys, in XLA terms:
 
 * the whole OSF cascade (W⁻¹, JKT, null projectors) runs in
   ``reduced_model_dof = co_dof + 6`` coordinates (18 for Tocabi
@@ -23,12 +22,20 @@ re-earned in XLA terms):
   arrays baked into the compiled graph, no RBDL-internal surgery
   (src/dwbc.cpp:2828-2878).
 
-Cost over the full tick: the nc-chain lumping einsums (reduced_dynamics)
-and a *partial* full-system contact space (Λ_c, J̄_cᵀ, N_C, A⁻¹N_C only —
-needed by non-contact-chain task Λ, src/dwbc.cpp:3104-3110; the expensive
-W⁻¹/V2/NwJw kernel factorization is skipped).  Net: the QP stage shrinks
-~2× in constraint rows and the cascade linear algebra ~(33/18)³; measured
-numbers in PERF.md / benchmarks/reduced_bench.py.
+Cost over the full tick: the nc-chain lumping einsums (reduced_dynamics),
+a *partial* full-system contact space (Λ_c, J̄_cᵀ, N_C, A⁻¹N_C — needed
+by non-contact-chain task Λ, src/dwbc.cpp:3104-3110), the nc resultant
+QP (a 4th solve), and the scatter recomposition.
+
+**Measured verdict (PERF.md round 4, benchmarks/reduced_bench_r04.json):
+the reduced tick runs at 0.53–0.62× the FULL tick's throughput on TPU**
+at 33 and 45 DoF — the reference's CPU "Time-Efficient" result does NOT
+transfer to the batched XLA serving shape, because the batched tick is
+dispatch/HBM-glue-bound (PERF.md r02 prestage profile), not FLOP-bound,
+and the reduction shrinks FLOPs while ADDING distinct small ops.  The
+class is kept as the semantic/parity surface for reduced-coordinate
+serving (and as the base for a fused reduced kernel if a future profile
+justifies one); for raw throughput serve the full FusedTick.
 """
 
 from __future__ import annotations
