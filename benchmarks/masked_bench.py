@@ -170,13 +170,13 @@ def main():
               jax.device_put(qds[:Bs]),
               (jax.device_put(f1[:Bs]), jax.device_put(f2[:Bs])))
         tau, cost, best = sweep(*aa)
-        jax.block_until_ready(tau)
-        r = rtt()
+        float(jnp.sum(tau))  # value readback — block_until_ready does not
+        r = rtt()            # reliably block through this tunnel
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             tau, cost, best = sweep(*aa)
-            jax.block_until_ready(tau)
+            float(jnp.sum(tau))
             times.append(time.perf_counter() - t0)
         dt = max(float(np.median(times)) - r, 1e-9)
         out = dict(
