@@ -213,68 +213,92 @@ def main():
 
 def _single_lane(jax, jnp, tick, model, q, qd, fstars, rtt, warm_iters):
     """Measured single-lane (batch-1) per-tick latency — the BASELINE.md
-    north-star "<1 ms p99 single-lane".  K ticks chained on device with the
+    north-star "<1 ms p99 single-lane".  Ticks chained on device with the
     warm-start serving shape (tick 0 full budget, warm ticks at warm_iters,
     mirroring the batch path and the reference's persistent hot-start
     qpOASES solvers).
 
-    Measurement (round-4 rework; the r03 version took p99 of 20 host-timed
-    samples — just the max, dominated by ~27 ms tunnel jitter): R ≥ 200
-    independently timed chains, each estimating per-tick time as
-    (chain_wall − RTT)/K.  The compiled tick is a fixed instruction stream
-    (static shapes, fixed IPM iterations) so true on-device per-tick
-    variance is ~0; the estimator spread reported here is the honest
-    host-visible envelope (tunnel jitter / K).  p50/p95/p99 over R samples.
-    """
+    Measurement (round-5 rework): per rep, TWO chain lengths K and 4K are
+    timed and the per-tick time is the SLOPE (t_4K − t_K)/(3K).  The r04
+    estimator ((chain − RTT_est)/K) left the tunnel-RTT jitter divided by
+    only K and carried the bias of a separately-measured trivial-kernel RTT
+    — its spread (0.28 ms) was the order of the p50 itself.  The slope
+    cancels the per-call overhead (and its mean) per sample and divides the
+    residual jitter by 3K; the per-rep intercept (t_K − K·slope) is
+    reported as a sanity check that the cancelled overhead matches the
+    measured RTT.  The compiled tick is a fixed instruction stream (static
+    shapes, fixed IPM iterations), so true on-device per-tick variance is
+    ~0 and the reported p99 spread is the honest estimator envelope.
+    p50/p95/p99 over R slope samples."""
     import numpy as np
     import time
 
-    K = 128
-    R = int(os.environ.get("DWBC_BENCH_SINGLE_REPS", "208"))
+    K1 = 128
+    K2 = 512
+    R = int(os.environ.get("DWBC_BENCH_SINGLE_REPS", "100"))
 
-    @jax.jit
-    def chained_single(q0, qd0, fstars_):
-        warm0 = tick.init_warm(())
-        res0, warm = tick._tick_impl(q0, qd0, fstars_, warm=warm0, qp_iters=12)
-        q1 = q0.at[6 : 6 + model.model_dof].add(
-            1e-6 * jnp.tanh(res0.torque_cmd)
-        )
-
-        def body(carry, _):
-            qq, qqd, w = carry
-            res, w = tick._tick_impl(
-                qq, qqd, fstars_, warm=w, qp_iters=warm_iters
+    def make_chain(K):
+        @jax.jit
+        def chained_single(q0, qd0, fstars_):
+            warm0 = tick.init_warm(())
+            res0, warm = tick._tick_impl(
+                q0, qd0, fstars_, warm=warm0, qp_iters=12
             )
-            qq = qq.at[6 : 6 + model.model_dof].add(
-                1e-6 * jnp.tanh(res.torque_cmd)
+            q1 = q0.at[6 : 6 + model.model_dof].add(
+                1e-6 * jnp.tanh(res0.torque_cmd)
             )
-            return (qq, qqd, w), None
 
-        (qq, _, _), _ = jax.lax.scan(body, (q1, qd0, warm), None, length=K - 1)
-        return qq
+            def body(carry, _):
+                qq, qqd, w = carry
+                res, w = tick._tick_impl(
+                    qq, qqd, fstars_, warm=w, qp_iters=warm_iters
+                )
+                qq = qq.at[6 : 6 + model.model_dof].add(
+                    1e-6 * jnp.tanh(res.torque_cmd)
+                )
+                return (qq, qqd, w), None
 
+            (qq, _, _), _ = jax.lax.scan(
+                body, (q1, qd0, warm), None, length=K - 1
+            )
+            return qq
+
+        return chained_single
+
+    chain1 = make_chain(K1)
+    chain2 = make_chain(K2)
     sq = jax.device_put(q.astype(np.float32))
     sqd = jax.device_put(qd.astype(np.float32))
     sfs = tuple(jax.device_put(f.astype(np.float32)) for f in fstars)
-    r = chained_single(sq, sqd, sfs)
-    float(jnp.sum(r))
-    lat = []
+    float(jnp.sum(chain1(sq, sqd, sfs)))
+    float(jnp.sum(chain2(sq, sqd, sfs)))
+    t1s, t2s = [], []
     for _ in range(R):
-        t1 = time.perf_counter()
-        r = chained_single(sq, sqd, sfs)
-        float(jnp.sum(r))
-        lat.append(time.perf_counter() - t1)
-    lat_ms = (np.array(lat) * 1e3 - rtt * 1e3) / K  # per tick, RTT removed
+        t0 = time.perf_counter()
+        float(jnp.sum(chain1(sq, sqd, sfs)))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(jnp.sum(chain2(sq, sqd, sfs)))
+        t2s.append(time.perf_counter() - t0)
+    t1s = np.array(t1s) * 1e3
+    t2s = np.array(t2s) * 1e3
+    lat_ms = (t2s - t1s) / (K2 - K1)           # per-tick slope, per rep
+    intercept_ms = t1s - K1 * lat_ms           # per-call overhead estimate
     return {
         "single_lane_reps": R,
-        "single_lane_chain_k": K,
+        "single_lane_chain_k": K1,
+        "single_lane_chain_k2": K2,
+        "single_lane_method": "two-chain slope (t_4K - t_K)/(3K)",
         "single_lane_ms_p50": round(float(np.percentile(lat_ms, 50)), 4),
         "single_lane_ms_p95": round(float(np.percentile(lat_ms, 95)), 4),
         "single_lane_ms_p99": round(float(np.percentile(lat_ms, 99)), 4),
         "single_lane_ms_spread": round(
             float(lat_ms.max() - lat_ms.min()), 4
         ),
-        # kept for cross-round comparability with r01-r03 records
+        "single_lane_intercept_ms_p50": round(
+            float(np.percentile(intercept_ms, 50)), 2
+        ),
+        # kept for cross-round comparability with r01-r04 records
         "single_lane_ms_rtt_corrected": round(
             float(np.percentile(lat_ms, 50)), 4
         ),

@@ -147,14 +147,25 @@ def main():
     if args.switch:
         # per-mode lax.switch comparison (parallel/hypotheses.py): under
         # vmap every branch executes for every scenario — the cost the
-        # masked single-graph formulation avoids.  Cold solves (the switch
-        # path has no cross-tick warm carry plumbing), fewer scenarios so
-        # it finishes; normalized to solves/s either way.
+        # masked single-graph formulation avoids.
+        #
+        # LIKE-FOR-LIKE protocol (round 5; the r04 numbers compared a warm
+        # 4096-lane 96-tick fused chain against a cold single-tick 512-lane
+        # switch run and the "~55×" headline was protocol-inflated): both
+        # formulations are timed COLD (full 12-iter budget every tick),
+        # same batch, same K-tick on-device chained scan.  Cold because the
+        # switch path structurally cannot carry warm state: each mode's QP
+        # warm pytree has different shapes (cfree=6 vs 0 ⇒ different slot
+        # widths), so a per-scenario warm carry across lax.switch branches
+        # has no common carry structure; the masked single-graph
+        # formulation is exactly what removes that obstruction.  The warm
+        # fused row above is reported separately as the serving number.
         from libdwbc_tpu.parallel.hypotheses import (
             contact_mode_ticks, hypothesis_sweep,
         )
 
         Bs = min(B, args.switch_batch)
+        Ks = max(4, K // 4)
         modes, ticks = contact_mode_ticks(
             model, cfg.contacts, cfg.task_specs, cfg.torque_limit,
             qp_iters=12,
@@ -164,28 +175,79 @@ def main():
         midx = np.array(
             [order[tuple(int(x) for x in m)] for m in masks[:Bs]], np.int32
         )
-        sweep = jax.jit(lambda mi, qb, qdb, fsb: hypothesis_sweep(
-            model, modes, ticks, mi, qb, qdb, fsb))
+
+        @jax.jit
+        def switch_chained(mi, q0, qd0, fsb):
+            def body(qq, _):
+                tau, cost, best = hypothesis_sweep(
+                    model, modes, ticks, mi, qq, qd0, fsb
+                )
+                qq = qq.at[:, 6:39].add(1e-6 * jnp.tanh(tau))
+                return qq, jnp.max(cost)
+
+            qq, costs = jax.lax.scan(body, q0, None, length=Ks)
+            return qq, costs
+
         aa = (jax.device_put(midx), jax.device_put(qs[:Bs]),
               jax.device_put(qds[:Bs]),
               (jax.device_put(f1[:Bs]), jax.device_put(f2[:Bs])))
-        tau, cost, best = sweep(*aa)
-        float(jnp.sum(tau))  # value readback — block_until_ready does not
+        qq, _ = switch_chained(*aa)
+        float(jnp.sum(qq))   # value readback — block_until_ready does not
         r = rtt()            # reliably block through this tunnel
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            tau, cost, best = sweep(*aa)
-            float(jnp.sum(tau))
+            qq, _ = switch_chained(*aa)
+            float(jnp.sum(qq))
             times.append(time.perf_counter() - t0)
         dt = max(float(np.median(times)) - r, 1e-9)
+        per_tick = dt / Ks
         out = dict(
             metric="masked_hypothesis_solves_per_sec_switch",
-            value=round(Bs / dt, 1),
+            value=round(Bs / per_tick, 1),
             unit="solves/s",
-            batch=Bs, chained_ticks=1, warm_iters=None,
+            batch=Bs, chained_ticks=Ks, warm_iters=None,
             note="lax.switch per-mode ticks (all branches execute under "
-                 "vmap); cold solves, single tick per measurement",
+                 "vmap); COLD 12-iter solves, chained on-device scan — "
+                 "compare against the cold fused row at the same (B, K)",
+        )
+        print(json.dumps(out), flush=True)
+        results.append(out)
+
+        # the apples-to-apples fused row: same batch, same chain, COLD
+        @jax.jit
+        def fused_cold_chained(q0, qd0, fs, cm):
+            def body(qq, _):
+                res = ft._tick_impl(qq, qd0, fs, cm, qp_iters=12)
+                qq = qq.at[:, 6:39].add(1e-6 * jnp.tanh(res.torque_cmd))
+                return qq, (jnp.max(res.qp_gap), jnp.max(res.qp_primal_res))
+
+            qq, diag = jax.lax.scan(body, q0, None, length=Ks)
+            return qq, diag
+
+        ac = (jax.device_put(qs[:Bs]), jax.device_put(qds[:Bs]),
+              (jax.device_put(f1[:Bs]), jax.device_put(f2[:Bs])),
+              jax.device_put(masks[:Bs]))
+        qq, diag = fused_cold_chained(*ac)
+        float(jnp.sum(qq))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qq, diag = fused_cold_chained(*ac)
+            float(jnp.sum(qq))
+            times.append(time.perf_counter() - t0)
+        dt = max(float(np.median(times)) - r, 1e-9)
+        per_tick = dt / Ks
+        out = dict(
+            metric="masked_hypothesis_solves_per_sec_fused_cold",
+            value=round(Bs / per_tick, 1),
+            unit="solves/s",
+            batch=Bs, chained_ticks=Ks, warm_iters=None,
+            qp_gap_max=float(np.asarray(diag[0]).max()),
+            qp_primal_res_max=float(np.asarray(diag[1]).max()),
+            note="masked fused kernel, COLD 12-iter solves, same (B, K) "
+                 "as the switch row — THIS ratio is the honest "
+                 "masked-vs-switch multiplier",
         )
         print(json.dumps(out), flush=True)
         results.append(out)

@@ -211,28 +211,42 @@ def diag_add(M, vals):
 
 
 # ------------------------------------------------------ factorizations
-def chol(M):
-    """Cholesky factor of (n,n)+bt SPD (lower), slice-vectorized
-    right-looking form — the elem-leading transpose of ops/smallmat.chol
-    (identical recurrence, pivots clamped at 1e-30)."""
+def chol_factor(M):
+    """Cholesky factor of (n,n)+bt SPD (lower) + reciprocal diagonal,
+    slice-vectorized right-looking form — the elem-leading transpose of
+    ops/smallmat.chol (identical recurrence, pivots clamped at 1e-30).
+
+    One rsqrt per column replaces the per-element divide chain of the
+    naive form (TPU VPU divides lower to multi-op reciprocal sequences —
+    n²/2 of them per factorization was a measured cost on the fused-tick
+    critical path); the reciprocal diagonal is returned so the triangular
+    solves below can multiply instead of divide too."""
     n = M.shape[0]
     S = M
     cols = []
+    inv_diag = []
     for j in range(n):
-        d = jnp.sqrt(jnp.maximum(S[0, 0], 1e-30))
-        col = S[:, 0] / d[None]                      # (n-j,)+bt, col[0] = d
+        s00 = jnp.maximum(S[0, 0], 1e-30)
+        inv_d = jax.lax.rsqrt(s00)
+        col = S[:, 0] * inv_d[None]                  # (n-j,)+bt, col[0] = d
         # NB Mosaic: col[1:, None] (slice+newaxis in ONE getitem) lowers to
         # a gather, and the last column's empty update would create 0-sized
         # vectors — split the getitems and skip the empty trailing block
         if j < n - 1:
             ctail = col[1:]
             S = S[1:, 1:] - ctail[:, None] * ctail[None]
+        inv_diag.append(inv_d)
         if j:
             col = jnp.concatenate(
                 [jnp.zeros((j,) + col.shape[1:], col.dtype), col], axis=0
             )
         cols.append(col)
-    return jnp.stack(cols, axis=1)                    # (n,n)+bt lower
+    return jnp.stack(cols, axis=1), inv_diag          # (n,n)+bt lower
+
+
+def chol(M):
+    """Cholesky factor of (n,n)+bt SPD (lower); see chol_factor."""
+    return chol_factor(M)[0]
 
 
 def solve_lower(L, B):
@@ -275,12 +289,140 @@ def cho_solve_vec(L, b):
     return solve_upper_vec(transpose(L), solve_lower_vec(L, b))
 
 
+def tri_inv_lower(L, inv_diag):
+    """Explicit inverse of a lower-triangular (n,n)+bt factor, exploiting
+    the triangular structure (the naive solve_lower(L, eye) runs the full
+    dense recurrence over the structurally-zero upper blocks — 3× the
+    FMAs and n² divides; this is n³/6 FMAs and zero divides).
+
+    Column j of X = L⁻¹:  X[j,j] = 1/L[j,j];
+    X[i,j] = −(Σ_{k=j..i−1} L[i,k]·X[k,j]) / L[i,i]   for i > j.
+    Entries above the diagonal are exact zeros."""
+    n = L.shape[0]
+    z = jnp.zeros_like(L[0, 0])
+    X = [[None] * n for _ in range(n)]
+    for j in range(n):
+        X[j][j] = inv_diag[j] + z
+        for i in range(j + 1, n):
+            acc = L[i, j] * X[j][j]
+            for k in range(j + 1, i):
+                acc = acc + L[i, k] * X[k][j]
+            X[i][j] = -acc * inv_diag[i]
+    rows = []
+    for i in range(n):
+        rows.append(jnp.stack(
+            [X[i][j] if j <= i else z for j in range(n)], axis=0
+        ))
+    return jnp.stack(rows, axis=0)
+
+
+def ltl_sym(X):
+    """XᵀX for a LOWER-triangular (n,n)+bt X, exploiting both the
+    triangularity (k ≥ max(i,j) terms only) and the symmetry of the result
+    (entries computed once, referenced twice): n³/6 FMAs vs n³ for the
+    dense mTm.  The result is exactly symmetric by construction."""
+    n = X.shape[0]
+    E = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            acc = None
+            for k in range(j, n):
+                t = X[k, i] * X[k, j]
+                acc = t if acc is None else acc + t
+            E[i][j] = E[j][i] = acc
+    return jnp.stack(
+        [jnp.stack(E[i], axis=0) for i in range(n)], axis=0
+    )
+
+
+def mmT_sym(A, B):
+    """A @ Bᵀ for operands KNOWN to produce a symmetric result (e.g.
+    (J A⁻¹) Jᵀ): computes the lower triangle only and mirrors — half the
+    FMAs of mmT, and the output is exactly symmetric (no 0.5(M+Mᵀ)
+    post-symmetrization needed)."""
+    m, k = A.shape[0], A.shape[1]
+    E = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            acc = A[i, 0] * B[j, 0]
+            for t in range(1, k):
+                acc = acc + A[i, t] * B[j, t]
+            E[i][j] = E[j][i] = acc
+    return jnp.stack(
+        [jnp.stack(E[i], axis=0) for i in range(m)], axis=0
+    )
+
+
+def mTm_sym(A, B):
+    """Aᵀ @ B with a symmetric result (e.g. Aᵀ(ΛA)): lower triangle only,
+    mirrored."""
+    k, m = A.shape[0], A.shape[1]
+    E = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            acc = A[0, i] * B[0, j]
+            for t in range(1, k):
+                acc = acc + A[t, i] * B[t, j]
+            E[i][j] = E[j][i] = acc
+    return jnp.stack(
+        [jnp.stack(E[i], axis=0) for i in range(m)], axis=0
+    )
+
+
+def mm_sym(A, B):
+    """A @ B with a symmetric result: lower triangle only, mirrored."""
+    m, k = A.shape[0], A.shape[1]
+    E = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            acc = A[i, 0] * B[0, j]
+            for t in range(1, k):
+                acc = acc + A[i, t] * B[t, j]
+            E[i][j] = E[j][i] = acc
+    return jnp.stack(
+        [jnp.stack(E[i], axis=0) for i in range(m)], axis=0
+    )
+
+
+def solve_lower_inv(L, inv_diag, B):
+    """L X = B with a precomputed reciprocal diagonal (no divides)."""
+    n = L.shape[0]
+    xs = []
+    for i in range(n):
+        acc = B[i]
+        for k in range(i):
+            acc = acc - L[i, k][None] * xs[k]
+        xs.append(acc * inv_diag[i][None])
+    return jnp.stack(xs, axis=0)
+
+
+def solve_upperT_inv(L, inv_diag, Y):
+    """Lᵀ X = Y (back substitution on the transposed factor), reciprocal
+    diagonal, matrix RHS."""
+    n = L.shape[0]
+    xs = [None] * n
+    for i in reversed(range(n)):
+        acc = Y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k, i][None] * xs[k]
+        xs[i] = acc * inv_diag[i][None]
+    return jnp.stack(xs, axis=0)
+
+
+def cho_solve_mat(L, inv_diag, B):
+    """Solve L Lᵀ X = B for a matrix RHS (n,m)+bt using the reciprocal
+    diagonal — the factored-apply path that lets the fused tick avoid
+    materializing W⁻¹ entirely."""
+    return solve_upperT_inv(L, inv_diag, solve_lower_inv(L, inv_diag, B))
+
+
 def psd_inverse(M):
-    """(n,n)+bt SPD inverse: A⁻¹ = L⁻ᵀL⁻¹ (matches smallmat.psd_inverse)."""
-    n = M.shape[0]
-    L = chol(M)
-    Linv = solve_lower(L, eye(n, M[0, 0]))
-    return mTm(Linv, Linv)
+    """(n,n)+bt SPD inverse: A⁻¹ = L⁻ᵀL⁻¹ (matches smallmat.psd_inverse up
+    to summation order), via the structure-aware triangular inverse: ~2n³/3
+    FMAs and n rsqrts total vs ~2n³ FMAs + n²·3/2 divides for the naive
+    chol → solve_lower(·, eye) → mTm pipeline it replaces."""
+    L, inv_diag = chol_factor(M)
+    return ltl_sym(tri_inv_lower(L, inv_diag))
 
 
 def chol_health(M):

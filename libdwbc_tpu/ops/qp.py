@@ -89,9 +89,30 @@ def _pallas_eligible(H, g, A, lb, ub, Aeq, backend) -> bool:
 class QPSolution(NamedTuple):
     x: jnp.ndarray        # (n,) primal solution
     lam: jnp.ndarray      # (2m,) multipliers for [upper; lower] rows
-    gap: jnp.ndarray      # () final complementarity gap
+    gap: jnp.ndarray      # () final cap-aware complementarity gap (see below)
     primal_res: jnp.ndarray  # () final max primal violation
     polished: jnp.ndarray    # () bool: polish step accepted
+
+
+def _comp_gap(slack, lam, m, axis=-1):
+    """Normalized complementarity: Σ|slack_i|·λ_i/(1+λ_i) / m.
+
+    The raw gap |Σ slack·λ|/m is useless as a failure observable on a
+    divergent dual: an ε-infeasible row (0·x ≤ −ε from masked lanes, or τ
+    at a torque limit + roundoff) legitimately drives λ toward the w_cap
+    safeguard, and ε·1e8 read as a huge "gap" on a perfectly healthy lane
+    (r04: 6.4e6 on limit-riding masked lanes — which silently broke the
+    loop-level gap_fallback safety net).  The per-row normalization
+    λ/(1+λ) saturates at 1, so a divergent-dual row contributes ≈|slack|
+    = its actual violation (ε — tiny, and reported by primal_res anyway),
+    while healthy rows (λ ≲ 1) keep their familiar slack·λ scale and a
+    genuinely unconverged/infeasible solve still reads large.  Per-row
+    absolute values prevent sign cancellation across rows.  This is the
+    failure-detection analog of qpOASES' status return
+    (src/qp_wrapper.cpp:298-363): healthy ⇒ ~0, failure ⇒ large, with no
+    saturation regime in between."""
+    lam = jnp.maximum(lam, 0.0)
+    return jnp.sum(jnp.abs(slack) * (lam / (1.0 + lam)), axis=axis) / m
 
 
 def _one_sided(A, lb, ub):
@@ -185,7 +206,7 @@ def solve_qp(
         C_b = jnp.broadcast_to(C_, bshape + (m_, n))
         slack = d_b - jnp.einsum("...ij,...j->...i", C_b, x)
         pres = jnp.max(jnp.maximum(-slack, 0.0), axis=-1)
-        gap = jnp.abs(jnp.sum(slack * lam, axis=-1)) / m_
+        gap = _comp_gap(slack, lam, m_)
         return QPSolution(x=x, lam=lam, gap=gap, primal_res=pres,
                           polished=jnp.zeros_like(pres, dtype=bool))
     dtype = H.dtype
@@ -205,6 +226,10 @@ def solve_qp(
     Hr = H + ridge * jnp.eye(n, dtype=dtype)
     unrolled = n <= _UNROLL_LIMIT
 
+    s_floor = 1e-10 if f32 else 1e-14
+    w_cap = 1e8 if f32 else 1e12
+    mu_tol = 5e-8 if f32 else 1e-13
+
     if warm is not None:
         # hot-start from a previous tick's primal/dual point (the analog of
         # qpOASES' persistent active set, include/dwbc.h:222-228): pull the
@@ -217,8 +242,9 @@ def solve_qp(
         s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), s_floor_w)
         # clip ABOVE too: a prior ε-infeasible solve legitimately diverges
         # its dual (0·x ≤ −ε rows from masked lanes + roundoff at an
-        # active limit) — it must not poison this restart
-        lam0 = jnp.clip(lam_w, s_floor_w, 1e8 if f32 else 1e12)
+        # active limit) — it must not poison this restart (cap shared with
+        # the in-iteration dual safeguard; the two must never drift apart)
+        lam0 = jnp.clip(lam_w, s_floor_w, w_cap)
         nu0 = jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype)
     else:
         x0 = jnp.zeros(
@@ -227,10 +253,6 @@ def solve_qp(
         s0 = jnp.maximum(d - jnp.einsum("...ij,...j->...i", C, x0), 1.0)
         lam0 = jnp.ones_like(s0)
         nu0 = jnp.zeros(x0.shape[:-1] + (p,), dtype=dtype)
-
-    s_floor = 1e-10 if f32 else 1e-14
-    w_cap = 1e8 if f32 else 1e12
-    mu_tol = 5e-8 if f32 else 1e-13
 
     def factor_step(x, s, lam, nu):
         """Everything the predictor and corrector share at a given iterate:
@@ -380,7 +402,7 @@ def solve_qp(
                 jnp.abs(jnp.einsum("...ij,...j->...i", Aeq, xv) - beq), axis=-1
             )
             pres = jnp.maximum(pres, eq_res)
-        gap = jnp.abs(jnp.sum(slack * lv, axis=-1)) / m
+        gap = _comp_gap(slack, lv, m)
         return pres, gap
 
     pres_i, gap_i = metrics(x, lam)

@@ -651,16 +651,20 @@ class TickProgram:
             J_C = jnp.concatenate(Jc_rows, axis=0)       # (cdof, ndof)+bt
 
         # ---------------- contact space (wbc/dynamics.py::contact_space /
-        # wbc/masked.py::masked_contact_space)
+        # wbc/masked.py::masked_contact_space).  All Gram-type products use
+        # the *_sym kernels (exact symmetry by construction — the explicit
+        # 0.5(M+Mᵀ) symmetrizations they replace are gone) and every SPD
+        # inverse goes through the triangular-structure-aware psd_inverse;
+        # together with the factored W-apply below this removed ~35% of the
+        # prestage FLOPs vs the r04 kernel (sol_tick artifacts).
         JAinv = el.mm(J_C, A_inv)
-        Mc = el.mmT(JAinv, J_C)
-        Mc = 0.5 * (Mc + el.transpose(Mc))
+        Mc = el.mmT_sym(JAinv, J_C)
         if self.masked:
             # +1 on inactive diagonal → the active block inverts exactly
             Mc = el.diag_add(Mc, [1.0 - row_mask[i] for i in range(self.cdof)])
         health = jnp.minimum(
             el.chol_health(Mc),
-            el.chol_health(el.mTm(J_C[:, 0:6], J_C[:, 0:6])),
+            el.chol_health(el.mTm_sym(J_C[:, 0:6], J_C[:, 0:6])),
         )
         Lambda_c = el.psd_inverse(Mc)
         if self.masked:
@@ -670,14 +674,20 @@ class TickProgram:
         NCG = G - el.mTv(J_C, P_C)
 
         Wfree = (A_inv[6:, 6:]
-                 - el.mTm(JAinv[:, 6:], Jbar[:, 6:]))
-        Wfree = 0.5 * (Wfree + el.transpose(Wfree))
+                 - el.mTm_sym(JAinv[:, 6:], Jbar[:, 6:]))
 
+        # W⁻¹ is never materialized: its only consumers are torque_grav and
+        # the per-level W⁻¹Qᵀ — both are triangular solves against the
+        # Cholesky factor of (Wfree + VVᵀ) plus a rank-cfree correction
+        # (W⁻¹ = (Wfree+VVᵀ)⁻¹ − VVᵀ), which costs ~n²/RHS instead of the
+        # ~2n³/3 explicit inverse.
+        W_corr = None                                     # V2T or None
         if self.cfree > 0 and not self.masked:
             Ny = el.complete_basis(J_C[:, 0:6])[:, 6:]   # (cdof, cfree)+bt
             V2T = el.qr_thin(el.mTm(J_C[:, 6:], Ny))     # (mdof, cfree)+bt
-            VVt = el.mmT(V2T, V2T)
-            W_inv = el.psd_inverse(Wfree + VVt) - VVt
+            VVt = el.mmT_sym(V2T, V2T)
+            L_W, idg_W = el.chol_factor(Wfree + VVt)
+            W_corr = V2T
             NwJw = el.mm(V2T, el.qr_pinv(el.mm(Jbar[0:self.cfree, 6:], V2T)))
         elif self.cfree > 0:
             # masked kernel basis: rank = active_cdof − 6 ≤ cfree; dead
@@ -687,8 +697,9 @@ class TickProgram:
             Ny = el.complete_basis(J_C[:, 0:6])[:, 6:]
             V2T = el.orthonormalize_drop(el.mTm(J_C[:, 6:], Ny))
             V2T, _ = el.compact_columns(V2T)
-            P_k = el.mmT(V2T, V2T)
-            W_inv = el.psd_inverse(Wfree + P_k) - P_k
+            P_k = el.mmT_sym(V2T, V2T)
+            L_W, idg_W = el.chol_factor(Wfree + P_k)
+            W_corr = V2T
             c_act = jnp.sum(row_mask, axis=0)            # (*bt)
             # idx[i] = (# active rows ≤ i) − 1
             idx = []
@@ -718,10 +729,17 @@ class TickProgram:
             inner = el.diag_add(inner, [1.0 - live[t] for t in range(self.cfree)])
             NwJw = el.mm(V2T, el.qr_pinv(inner)) * livev[None]
         else:
-            W_inv = el.psd_inverse(Wfree)
+            L_W, idg_W = el.chol_factor(Wfree)
             NwJw = None
 
-        torque_grav = el.mv(W_inv, el.mv(A_inv[6:], NCG))
+        def W_apply(Bm):
+            """W⁻¹ @ Bm for a (mdof, t)+bt RHS (factored form above)."""
+            Y = el.cho_solve_mat(L_W, idg_W, Bm)
+            if W_corr is not None:
+                Y = Y - el.mm(W_corr, el.mTm(W_corr, Bm))
+            return Y
+
+        torque_grav = W_apply(el.mv(A_inv[6:], NCG)[:, None])[:, 0]
 
         # ---------------- per-level JKT + Ntorque (dynamics.task_jkt)
         Ntorques = []
@@ -739,7 +757,7 @@ class TickProgram:
             J_task = jnp.concatenate(trows, axis=0)       # (t, ndof)+bt
             JtA = el.mm(J_task, A_inv)
             JAN = JtA - el.mm(el.mmT(JtA, J_C), Jbar)
-            Mt = el.mmT(JAN, J_task)
+            Mt = el.mmT_sym(JAN, J_task)
 
             def _reg(Ms):
                 """κ-bounding relative ridge at f32 — the closed-form
@@ -754,11 +772,11 @@ class TickProgram:
                     dmax = jnp.maximum(dmax, jnp.abs(Ms[i2, i2]))
                 return el.diag_add(Ms, [1e-4 * dmax] * k_)
 
-            Lam = el.psd_inverse(_reg(0.5 * (Mt + el.transpose(Mt))))
+            Lam = el.psd_inverse(_reg(Mt))
             Q = el.mm(Lam, JAN)[:, 6:]                    # (t, mdof)+bt
-            WQt = el.mmT(W_inv, Q)                        # (mdof, t)+bt
-            QWQ = el.mm(Q, WQt)
-            inv_mid = el.psd_inverse(_reg(0.5 * (QWQ + el.transpose(QWQ))))
+            WQt = W_apply(el.transpose(Q))                # (mdof, t)+bt
+            QWQ = el.mm_sym(Q, WQt)
+            inv_mid = el.psd_inverse(_reg(QWQ))
             J_kt = el.mm(WQt, inv_mid)
             JktLam = el.mm(J_kt, Lam)
             Ntorques.append(JktLam if prev_null is None
@@ -832,7 +850,8 @@ class TickProgram:
         )
         if self.masked:
             # per-lane active contact dof (Σ row_mask) — the reference's
-            # `if (contact_dof > 6)` redistribution guard
+            # `if (contact_dof > 0)` redistribution guard (contact_dof =
+            # total_contact_dof - 6, i.e. total > 6)
             # (src/dwbc.cpp:1424) becomes a per-lane diagnostic gate
             out["active_cdof"] = jnp.sum(row_mask, axis=0)
         return out
@@ -985,7 +1004,15 @@ class TickProgram:
         x, s_, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
         slack = d - matvec_C(x)
         pres = jnp.max(jnp.maximum(-slack, 0.0), axis=0)
-        gap = jnp.abs(jnp.sum(slack * lam, axis=0)) / m
+        # normalized complementarity (ops/qp.py::_comp_gap rationale): the
+        # per-row λ/(1+λ) saturation makes a divergent-dual row (ε-
+        # infeasible masked/limit rows) contribute ≈|slack| = ε instead of
+        # ε·w_cap, so a healthy limit-riding lane reads ~0 and cannot trip
+        # the loop-level gap_fallback, while genuine non-convergence /
+        # infeasibility still reads large.
+        gap = jnp.sum(
+            jnp.abs(slack) * (lam / (1.0 + lam)), axis=0
+        ) / m
         return x, s_, lam, gap, pres
 
     # ----------------------------------------------------------- QP chain
@@ -1074,7 +1101,8 @@ class TickProgram:
             if crow is not None:
                 # single-support lanes (active_cdof ≤ 6) have NO
                 # redistribution problem — the reference skips the QP
-                # entirely (`if (contact_dof > 6)`, src/dwbc.cpp:1424);
+                # entirely: `if (contact_dof > 0)` with contact_dof =
+                # total_contact_dof - 6, i.e. total > 6 (src/dwbc.cpp:1424);
                 # here the padded QP still runs (its NwJw columns are
                 # zero, τ_contact untouched) but an ε-infeasible dead
                 # row (τ at the limit + f32 roundoff ⇒ 0·x ≤ −ε) must

@@ -95,12 +95,21 @@ def init_distributed(coordinator: str | None = None,
     given, it is a no-op returning False.
     """
     # Must not touch the backend before initialize (jax.process_count()
-    # would initialise XLA and make initialize() raise) — probe the
-    # distributed client state directly.
-    from jax._src import distributed as _dist
+    # would initialise XLA and make initialize() raise).  Prefer the public
+    # probe where this JAX version has one; fall back to the private client
+    # state (pre-is_initialized versions) without letting an API change in
+    # either spot break the import.
+    try:
+        if jax.distributed.is_initialized():
+            return True
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return True  # already initialized
+            if getattr(_dist.global_state, "client", None) is not None:
+                return True  # already initialized
+        except Exception:
+            pass
     env_configured = any(
         k in __import__("os").environ
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..model.compile import RobotModel
 from ..ops.tick_kernel import SERVO_ELEM_SHAPES, TickProgram
-from .pipeline import PipelineConfig, TickResult
+from .pipeline import PipelineConfig, TickResult, qp_error_flag
 
 TILE = 8 * 128
 
@@ -73,12 +73,15 @@ def _spec(lead):
 class FusedTick:
     """One fused-kernel WBC tick for a fixed configuration.
 
-    API mirrors CompiledTick: __call__(q, qdot, fstars), _tick_impl(...,
-    warm=, qp_iters=), init_warm(batch).  qdot is accepted for interface
-    parity and ignored — without an on-device servo the control torque is a
-    function of q alone (the tick compensates gravity, not Coriolis,
-    exactly like the reference's grav+task+contact sum,
-    src/pybind/rl_wbc_bridge.cpp:131-139).  Servo'd loops use CompiledTick.
+    API mirrors CompiledTick: __call__(q, qdot, fstars, servos=),
+    _tick_impl(..., warm=, qp_iters=, servos=), init_warm(batch).
+
+    servos: the on-device trajectory-PD servo runs INSIDE the fused kernel
+    (tick_kernel.py::_servo_fstar_el; 1e-10 parity vs CompiledTick in
+    tests/test_fused_servo.py).  qdot feeds the servo'd task links' point
+    velocities; without servos it is accepted for interface parity and
+    unused — the tick compensates gravity, not Coriolis, exactly like the
+    reference's grav+task+contact sum (src/pybind/rl_wbc_bridge.cpp:131-139).
     """
 
     def __init__(self, model: RobotModel, cfg: PipelineConfig,
@@ -157,6 +160,10 @@ class FusedTick:
             qp_gap=out["qp_gap"],
             qp_primal_res=out["qp_primal_res"],
             contact_rank_health=out["health"],
+            qp_error=qp_error_flag(
+                out["qp_gap"], out["qp_primal_res"], out["torque_cmd"],
+                self.cfg,
+            ),
         )
         if not batched:
             result = TickResult(*(r[0] for r in result))

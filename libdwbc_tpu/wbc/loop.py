@@ -28,6 +28,10 @@ class LoopResult(NamedTuple):
     qdot_final: jnp.ndarray
     torques: jnp.ndarray        # (K, ..., model_dof)
     qp_primal_res: jnp.ndarray  # (K, ...)
+    qp_error: jnp.ndarray       # (K, ...) per-lane per-tick failure flags —
+    # the loop serves whatever the tick produced; the caller decides the
+    # hold/zero policy per flagged lane (the reference aborts and returns 0,
+    # src/dwbc.cpp:836-846; RobotData.GetControlTorque does the same)
 
 
 def _advance_servos(servos, tk):
@@ -131,10 +135,16 @@ def make_control_loop(
 
     gap_fallback (warm loops only): per-tick safety net mirroring qpOASES's
     hot-start-failure → cold re-init at 10× iterations
-    (src/qp_wrapper.cpp:298-339): when a warm tick's worst complementarity
-    gap exceeds the threshold, the tick is re-solved from the warm point at
-    the full iteration budget (a lax.cond — the refine branch costs nothing
-    when not taken).
+    (src/qp_wrapper.cpp:298-339): when any lane's warm tick leaves a real
+    complementarity gap or primal violation above the threshold, the tick
+    is re-solved from the warm point at the full iteration budget (a
+    lax.cond — the refine branch costs nothing when not taken) and the
+    refined result/warm state is selected PER LANE, so healthy lanes keep
+    their warm-budget trajectory.  The trigger reads the cap-aware gap
+    (ops/qp.py::_gap_row_mask): a healthy lane riding a torque limit or a
+    masked-out contact row reads ~0, not 1e6 — one such lane can no longer
+    pin the whole batch to the full-budget branch forever (the r04 failure
+    mode).
     """
     from .masked import MaskedTick
 
@@ -172,26 +182,44 @@ def make_control_loop(
                     qp_iters=w_iters, servos=sv,
                 )
                 if gap_fallback is not None:
-                    res, warm = jax.lax.cond(
-                        jnp.maximum(
-                            jnp.max(res.qp_gap), jnp.max(res.qp_primal_res)
-                        ) > gap_fallback,
-                        lambda: _tick(
+                    trip = jnp.maximum(res.qp_gap, res.qp_primal_res) \
+                        > gap_fallback          # per-lane, (batch,) or ()
+
+                    def _refine(res=res, warm=warm, q=q, qdot=qdot, sv=sv):
+                        res2, warm2 = _tick(
                             q, qdot, fstars, contact_mask, warm=warm,
                             qp_iters=tick.cfg.qp_iters, servos=sv,
-                        ),
-                        lambda: (res, warm),
+                        )
+                        # select per lane: tripped lanes take the
+                        # full-budget solve, healthy lanes keep their
+                        # warm-budget result and warm state
+                        def sel(a, b):
+                            t = trip.reshape(
+                                trip.shape + (1,) * (a.ndim - trip.ndim)
+                            )
+                            return jnp.where(t, a, b)
+
+                        return (
+                            jax.tree_util.tree_map(sel, res2, res),
+                            jax.tree_util.tree_map(sel, warm2, warm),
+                        )
+
+                    res, warm = jax.lax.cond(
+                        jnp.any(trip), _refine, lambda: (res, warm),
                     )
                 q, qdot = trans(q, qdot, res, dt)
-                return (q, qdot, warm), (res.torque_cmd, res.qp_primal_res)
+                return (q, qdot, warm), (
+                    res.torque_cmd, res.qp_primal_res, res.qp_error
+                )
 
-            (q, qdot, _), (torques, pres) = jax.lax.scan(
+            (q, qdot, _), (torques, pres, errs) = jax.lax.scan(
                 body, (q, qdot, warm), 1.0 + jnp.arange(K - 1, dtype=tick.dtype)
             )
             torques = jnp.concatenate([res0.torque_cmd[None], torques], axis=0)
             pres = jnp.concatenate([res0.qp_primal_res[None], pres], axis=0)
+            errs = jnp.concatenate([res0.qp_error[None], errs], axis=0)
             return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
-                              qp_primal_res=pres)
+                              qp_primal_res=pres, qp_error=errs)
 
         return jax.jit(loop)
 
@@ -203,12 +231,12 @@ def make_control_loop(
                 servos=_advance_servos(servos, k * dt),
             )
             q, qdot = trans(q, qdot, res, dt)
-            return (q, qdot), (res.torque_cmd, res.qp_primal_res)
+            return (q, qdot), (res.torque_cmd, res.qp_primal_res, res.qp_error)
 
-        (q, qdot), (torques, pres) = jax.lax.scan(
+        (q, qdot), (torques, pres, errs) = jax.lax.scan(
             body, (q0, qdot0), jnp.arange(K, dtype=tick.dtype)
         )
         return LoopResult(q_final=q, qdot_final=qdot, torques=torques,
-                          qp_primal_res=pres)
+                          qp_primal_res=pres, qp_error=errs)
 
     return jax.jit(loop)

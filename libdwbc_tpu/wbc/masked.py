@@ -48,7 +48,7 @@ from . import dynamics as dyn
 from . import types as T
 from .dynamics import ContactSpace, _psd_inv
 from .hqp import solve_contact_redistribution_qp, solve_task_level_qp
-from .pipeline import PipelineConfig, TickResult
+from .pipeline import PipelineConfig, TickResult, qp_error_flag
 
 _BIG = 1.0e30
 
@@ -388,7 +388,8 @@ class MaskedTick:
                 "...mc,...c->...m", cs.NwJw, sol.x
             )
             # diagnostics gated by the reference's redistribution guard
-            # (`if (contact_dof > 6)`, src/dwbc.cpp:1424): single-support
+            # (`if (contact_dof > 0)` with contact_dof = total_contact_dof
+            # - 6, i.e. total > 6; src/dwbc.cpp:1424): single-support
             # lanes have no redistribution problem — the padded QP's dead
             # rows can be ε-infeasible (τ at the limit + roundoff) and
             # must not leak into the lane's gap/pres
@@ -407,6 +408,7 @@ class MaskedTick:
             qp_gap=gap,
             qp_primal_res=pres,
             contact_rank_health=cs.rank_health,
+            qp_error=qp_error_flag(gap, pres, torque_cmd, self.cfg),
         )
         if warm is not None:
             return result, tuple(warm_out)

@@ -42,9 +42,24 @@ class TickResult(NamedTuple):
     torque_contact: jnp.ndarray
     torque_cmd: jnp.ndarray
     contact_force: jnp.ndarray    # observed contact wrench under torque_cmd
-    qp_gap: jnp.ndarray           # worst complementarity gap across QPs
+    qp_gap: jnp.ndarray           # worst cap-aware complementarity gap across QPs
     qp_primal_res: jnp.ndarray    # worst primal violation across QPs
     contact_rank_health: jnp.ndarray  # contact-space rank indicator (tiny = degenerate)
+    qp_error: jnp.ndarray         # per-lane solver-failure flag (bool) — the
+    # batched analog of qpOASES' failure status (src/qp_wrapper.cpp:298-363):
+    # True when any QP in the tick left a real primal violation, a real
+    # complementarity gap, or a non-finite torque.  The facade refuses to
+    # serve torque on it (src/dwbc.cpp:836-846 semantics); serving loops
+    # should hold/zero flagged lanes.
+
+
+def qp_error_flag(gap, pres, torque_cmd, cfg):
+    """Per-lane failure flag from the tick diagnostics.  Thresholds sit
+    orders of magnitude above any healthy solve (warm f32 gap ≲ 1e-6,
+    ε-roundoff pres ≲ 1e-5) and far below garbage; non-finite torque is
+    always a failure."""
+    finite = jnp.all(jnp.isfinite(torque_cmd), axis=-1)
+    return (~finite) | (gap > cfg.qp_fail_gap) | (pres > cfg.qp_fail_pres)
 
 
 class ServoParams(NamedTuple):
@@ -330,6 +345,9 @@ class PipelineConfig:
     torque_limit: np.ndarray | None
     qp_iters: int = 25
     use_hqp: bool = True
+    # per-lane qp_error thresholds (see TickResult.qp_error / qp_error_flag)
+    qp_fail_gap: float = 1e-3
+    qp_fail_pres: float = 1e-3
 
 
 class CompiledTick:
@@ -538,6 +556,7 @@ class CompiledTick:
             qp_gap=gap,
             qp_primal_res=pres,
             contact_rank_health=cs.rank_health,
+            qp_error=qp_error_flag(gap, pres, torque_cmd, cfg),
         )
         if warm is not None:
             return result, tuple(warm_out)

@@ -52,6 +52,7 @@ from .hqp import solve_contact_redistribution_qp, solve_task_level_qp
 from .pipeline import (
     PipelineConfig,
     TickResult,
+    qp_error_flag,
     _apply_servos,
     _parse_task_spec,
     _plan_jacobians,
@@ -191,6 +192,14 @@ class ReducedTick:
         k = sum(c.constraint_number for c in cfg.contacts)
         lim_rows = 2 * co if cfg.torque_limit is not None else 0
         dims = []
+        # Every entry must mirror a QP that _tick_impl actually RUNS (and
+        # hence a warm_out slot it actually emits): use_hqp=False runs no
+        # QPs at all, and the redistribution QP is skipped when the contact
+        # free space is empty (csr.NwJw has 0 columns — single 6D contact).
+        # Emitting extra slots here breaks warm-chained loops with a carry
+        # structure mismatch (ADVICE r04).
+        if not cfg.use_hqp:
+            return dims
         for h, level in enumerate(cfg.task_specs):
             if self._level_kind[h] == "nc":
                 continue
@@ -202,7 +211,8 @@ class ReducedTick:
             dims.append((t + cfree, lim_rows + k))
         if self._nc_levels:
             dims.append((6 + cfree, lim_rows + k))
-        dims.append((cfree, lim_rows + k))
+        if cfree > 0:
+            dims.append((cfree, lim_rows + k))
         return dims
 
     def init_warm(self, batch=()):
@@ -479,6 +489,7 @@ class ReducedTick:
             qp_gap=gap,
             qp_primal_res=pres,
             contact_rank_health=csr.rank_health,
+            qp_error=qp_error_flag(gap, pres, torque_cmd, cfg),
         )
         if warm is not None:
             return result, tuple(warm_out)

@@ -55,6 +55,10 @@ class RobotData:
         self.qp_success_count_ = 0
         self.qp_fail_count_ = 0
         self.qp_history_ = []
+        # sticky per-call failure flag (the reference's ts_.qp_error /
+        # abort-on-failure semantics, src/dwbc.cpp:836-846); reset at each
+        # CalcTaskControlTorque entry
+        self.qp_error_ = 0
 
     # ------------------------------------------------------------ model
     def LoadModelData(self, urdf_path: str, floating: bool = True, verbose: int = 0):
@@ -390,6 +394,7 @@ class RobotData:
         )
         A_const, A_rot = self._constraint_blocks(st)
         self.qp_results = []
+        self.qp_error_ = 0
         for h, (J_task, tf) in enumerate(self._task_factors):
             fstar = jnp.asarray(self._fstars[h], self.dtype)
             null_prev = (
@@ -402,8 +407,28 @@ class RobotData:
                     self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
                     A_const, A_rot, tlim, iters=self.qp_iters,
                 )
+                if self._qp_failed(res):
+                    # qpOASES-wrapper semantics: a failed (hot)solve retries
+                    # from scratch at 10× the iteration budget before the
+                    # cascade gives up (src/qp_wrapper.cpp:298-363)
+                    res = solve_task_level_qp(
+                        Ntorque, fstar, self.torque_grav_ + torque_task,
+                        self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
+                        A_const, A_rot, tlim, iters=self.qp_iters * 10,
+                    )
                 self.qp_results.append(res)
                 self._record_qp(f"task{h}", res.gap, res.primal_res)
+                if self._qp_failed(res):
+                    # abort the cascade: zero task/contact torques, flag the
+                    # error, return 0 — the facade never hands the caller a
+                    # garbage torque (src/dwbc.cpp:836-846: qp_res == 0 →
+                    # return 0 with torque_task_/torque_contact_ still the
+                    # setZero() from entry; GetControlTorque then serves
+                    # gravity compensation only — the safe hold)
+                    self.torque_task_ = jnp.zeros(m, dtype=self.dtype)
+                    self.torque_contact_ = jnp.zeros(m, dtype=self.dtype)
+                    self.qp_error_ = 1
+                    return 0
                 torque_h = tf.J_kt @ tf.Lambda_task @ (fstar + res.f_star_delta)
                 torque_contact = self.cspace.NwJw @ res.contact_qp
             else:
@@ -437,8 +462,20 @@ class RobotData:
                 torque_input, self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
                 A_const, A_rot, tlim, iters=self.qp_iters,
             )
-            self.cf_redis_qp_ = sol.x
+            if self._qp_failed(sol):
+                # retry at 10× (src/qp_wrapper.cpp:298-363), then refuse
+                # (src/dwbc.cpp:1117-1125: failed redistribution → zero
+                # contact_qp, qp_error, return 0)
+                sol = solve_contact_redistribution_qp(
+                    torque_input, self.cspace.NwJw, self.cspace.J_C_INV_T,
+                    self.P_C, A_const, A_rot, tlim, iters=self.qp_iters * 10,
+                )
             self._record_qp("redistribution", sol.gap, sol.primal_res)
+            if self._qp_failed(sol):
+                self.cf_redis_qp_ = jnp.zeros_like(sol.x)
+                self.qp_error_ = 1
+                return 0
+            self.cf_redis_qp_ = sol.x
             self.torque_contact_ = self.torque_contact_ + self.cspace.NwJw @ sol.x
             return 1
         # closed-form two-foot redistribution (src/dwbc.cpp:1572-1612)
@@ -1334,6 +1371,24 @@ class RobotData:
         self.torque_contact_ = tc
         return 1
 
+    # failure thresholds for the abort path — orders of magnitude above any
+    # healthy solve (facade f64 pres ≲ 1e-8, gap ≲ 1e-9) and far below
+    # garbage; the gap is cap-aware (ops/qp.py::_gap_row_mask) so a healthy
+    # limit-riding solve cannot trip it
+    QP_FAIL_PRES = 1e-3
+    QP_FAIL_GAP = 1e-3
+
+    def _qp_failed(self, res) -> bool:
+        """Batched analog of qpOASES' failure status (src/qp_wrapper.cpp:
+        298-363): a real primal violation, a real complementarity gap, or a
+        non-finite solution."""
+        x = np.asarray(res.x)
+        if not np.isfinite(x).all():
+            return True
+        pres = float(np.max(np.asarray(res.primal_res)))
+        gap = float(np.max(np.asarray(res.gap)))
+        return pres > self.QP_FAIL_PRES or gap > self.QP_FAIL_GAP
+
     def _record_qp(self, name: str, gap, primal_res, tol: float = 1e-5):
         ok = bool(primal_res < tol)
         self.qp_success_count_ += int(ok)
@@ -1353,6 +1408,7 @@ class RobotData:
             solves=n,
             success=self.qp_success_count_,
             fail=self.qp_fail_count_,
+            qp_error=self.qp_error_,
             worst_primal_res=max((h["primal_res"] for h in self.qp_history_), default=0.0),
             worst_gap=max((h["gap"] for h in self.qp_history_), default=0.0),
             lqp_level_times=getattr(self, "lqp_level_times_", []),

@@ -95,3 +95,53 @@ def test_qr_and_completion():
     np.testing.assert_allclose(P_el, P_sm, atol=1e-9)
     # and it really inverts
     np.testing.assert_allclose(P_el @ Ms, np.broadcast_to(np.eye(6), (B, 6, 6)), atol=1e-7)
+
+
+def test_triangular_and_symmetric_kernels():
+    """Round-5 structure-aware kernels: triangular inverse, factored
+    cho_solve, and the *_sym half-products must agree with their dense
+    counterparts / numpy truth (they carry the fused tick's prestage)."""
+    from libdwbc_tpu.ops import elemlin as el
+
+    rng = np.random.default_rng(7)
+    B, n = 4, 11
+    M = rng.standard_normal((B, n, n))
+    A = M @ np.swapaxes(M, 1, 2) + n * np.eye(n)
+
+    L, idg = el.chol_factor(_to_el(A))
+    L_np = np.linalg.cholesky(A)
+    np.testing.assert_allclose(_from_el(L), L_np, atol=1e-10)
+    np.testing.assert_allclose(
+        _from_el(el.tri_inv_lower(L, idg)), np.linalg.inv(L_np), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        _from_el(el.ltl_sym(el.tri_inv_lower(L, idg))), np.linalg.inv(A),
+        atol=1e-8,
+    )
+    Bm = rng.standard_normal((B, n, 5))
+    np.testing.assert_allclose(
+        _from_el(el.cho_solve_mat(L, idg, _to_el(Bm))),
+        np.linalg.solve(A, Bm), atol=1e-8,
+    )
+
+    X = rng.standard_normal((B, 7, 4))
+    Y = rng.standard_normal((B, 7, 4))
+    # symmetric-result products: feed operands that make the result
+    # genuinely symmetric and check against the dense path
+    G = np.einsum("bik,bjk->bij", X, X)
+    np.testing.assert_allclose(
+        _from_el(el.mmT_sym(_to_el(X), _to_el(X))), G, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        _from_el(el.mTm_sym(_to_el(X.swapaxes(1, 2)), _to_el(X.swapaxes(1, 2)))),
+        G, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        _from_el(el.mm_sym(_to_el(G), _to_el(G))), G @ G, atol=1e-10
+    )
+    # exact symmetry by construction (the property the kernels rely on to
+    # drop the 0.5(M+Mᵀ) post-symmetrizations)
+    S = _from_el(el.mmT_sym(_to_el(X), _to_el(Y @ np.ones((4, 4)) * 0 + Y)))
+    # (mmT_sym on non-symmetric-result operands mirrors the lower half;
+    # the output must still be exactly symmetric)
+    np.testing.assert_array_equal(S, S.swapaxes(1, 2))

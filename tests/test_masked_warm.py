@@ -148,7 +148,8 @@ def test_masked_warm_chain_dual_stays_bounded(tocabi_model):
     torque limit (f32 roundoff from the preceding task QP) makes one of
     them ε-infeasible — 0·x ≤ −ε.  The dual then legitimately diverges;
     before the w_cap dual safeguard + warm-clip + diagnostic gating
-    (reference guard `if (contact_dof > 6)`, src/dwbc.cpp:1424) the
+    (reference guard `if (contact_dof > 0)` with contact_dof =
+    total_contact_dof - 6, src/dwbc.cpp:1424) the
     lane's qp_gap reached 1e27→NaN by tick 3 of a warm chain and the
     exploded λ poisoned every later restart."""
     from libdwbc_tpu.wbc.fused import FusedTick
@@ -176,5 +177,68 @@ def test_masked_warm_chain_dual_stays_bounded(tocabi_model):
     g = np.asarray(res.qp_gap)
     assert np.isfinite(g).all() and g.max() < 1e-4, g
     assert np.isfinite(np.asarray(res.torque_cmd)).all()
+    lam_max = max(float(np.asarray(l).max()) for _, l in warm)
+    assert lam_max < 1e6, lam_max
+
+
+def test_mask_flip_warm_recovery(masked_tick):
+    """Warm-carry validity across a hypothesis flip (VERDICT r04 item 6):
+    in serving, the hypothesis selector changes a lane's contact mask
+    between ticks, so the warm primal/dual from the OLD mode seeds the NEW
+    mode's QP — the analog of qpOASES hot-start-after-SetContact
+    (include/dwbc.h:432-474 resize → re-init).  Chain warm both-feet ticks,
+    flip lane 1 to left-single-support mid-chain, keep the warm carry, and
+    assert recovery within the warm budget: diagnostics healthy and τ
+    matching an independent cold full-budget solve at the warm-parity
+    tolerances (τ_grav 1e-10 / τ_task 2e-3, CLAUDE.md policy)."""
+    model, mt = masked_tick
+    f1, f2 = CASE_FSTAR[1]
+    B = 2
+    fstars = (
+        jnp.asarray(np.tile(f1, (B, 1)), jnp.float64),
+        jnp.asarray(np.tile(f2, (B, 1)), jnp.float64),
+    )
+    q = np.tile(full_q(CASE_Q[1]), (B, 1))
+    qd = np.zeros((B, model.ndof))
+    cm_both = jnp.asarray(np.array([[1.0, 1.0], [1.0, 1.0]]))
+    cm_flip = jnp.asarray(np.array([[1.0, 1.0], [1.0, 0.0]]))
+
+    warm = mt.init_warm((B,))
+    res, warm = mt._tick_impl(
+        jnp.asarray(q), jnp.asarray(qd), fstars, cm_both, warm=warm,
+        qp_iters=25,
+    )
+    for _ in range(3):
+        res, warm = mt._tick_impl(
+            jnp.asarray(q), jnp.asarray(qd), fstars, cm_both, warm=warm,
+            qp_iters=WARM_ITERS,
+        )
+    # flip lane 1 both→left; continue at the WARM budget with the stale
+    # warm state
+    res_f, warm = mt._tick_impl(
+        jnp.asarray(q), jnp.asarray(qd), fstars, cm_flip, warm=warm,
+        qp_iters=WARM_ITERS,
+    )
+    assert np.isfinite(np.asarray(res_f.torque_cmd)).all()
+    # one more warm tick must be fully recovered; assert against cold
+    res_f2, warm = mt._tick_impl(
+        jnp.asarray(q), jnp.asarray(qd), fstars, cm_flip, warm=warm,
+        qp_iters=WARM_ITERS,
+    )
+    res_cold = mt(q, qd, fstars, cm_flip)
+    for r, tag in ((res_f, "flip tick"), (res_f2, "flip+1 tick")):
+        assert float(np.asarray(r.qp_primal_res).max()) < 1e-8, tag
+        assert float(np.asarray(r.qp_gap).max()) < 1e-5, tag
+        assert not np.asarray(r.qp_error).any(), tag
+        np.testing.assert_allclose(
+            np.asarray(r.torque_grav), np.asarray(res_cold.torque_grav),
+            atol=1e-10, err_msg=tag,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r.torque_task), np.asarray(res_cold.torque_task),
+            atol=2e-3, err_msg=tag,
+        )
+    # the flipped lane's warm duals must not have been poisoned by the
+    # old mode's multipliers
     lam_max = max(float(np.asarray(l).max()) for _, l in warm)
     assert lam_max < 1e6, lam_max

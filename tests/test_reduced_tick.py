@@ -195,3 +195,53 @@ def test_dof45_topology():
     np.testing.assert_allclose(
         np.asarray(res.torque_cmd), np.asarray(rf2.torque_cmd), atol=5e-2
     )
+
+
+def test_warm_slots_match_single_contact(tocabi_model):
+    """Warm-carry structure parity for configs that SKIP QPs (ADVICE r04):
+    a single 6D contact has cfree=0 so the redistribution QP never runs,
+    and use_hqp=False runs none — init_warm must emit exactly the slots
+    _tick_impl's warm_out returns or a warm-chained lax.scan loop dies on
+    a carry structure mismatch."""
+    import jax
+
+    q = full_q(CASE_Q[2])   # single-support case
+    qd = np.zeros(39)
+    fs = CASE_FSTAR[2]
+    cfg = standard_tocabi_config(tocabi_model, both_feet=False, qp_iters=12)
+    tick = ReducedTick(tocabi_model, cfg, dtype=jnp.float64,
+                       tangential_weight=False)
+    warm0 = tick.init_warm(())
+    res, warm1 = tick._tick_impl(
+        jnp.asarray(q), jnp.asarray(qd),
+        tuple(jnp.asarray(f, jnp.float64) for f in fs),
+        warm=warm0, qp_iters=12,
+    )
+    assert jax.tree_util.tree_structure(warm0) == \
+        jax.tree_util.tree_structure(warm1)
+    for (x0, l0), (x1, l1) in zip(warm0, warm1):
+        assert x0.shape == x1.shape and l0.shape == l1.shape
+    # the serving shape: warm chained through a scan (this is what broke)
+    def body(w, _):
+        r, w = tick._tick_impl(
+            jnp.asarray(q), jnp.asarray(qd),
+            tuple(jnp.asarray(f, jnp.float64) for f in fs),
+            warm=w, qp_iters=6,
+        )
+        return w, r.torque_cmd
+    _, taus = jax.lax.scan(body, warm1, None, length=2)
+    assert np.isfinite(np.asarray(taus)).all()
+
+    # use_hqp=False: no QPs at all -> zero warm slots, same contract
+    import dataclasses
+    cfg_nohqp = dataclasses.replace(cfg, use_hqp=False)
+    tick2 = ReducedTick(tocabi_model, cfg_nohqp, dtype=jnp.float64,
+                        tangential_weight=False)
+    w0 = tick2.init_warm(())
+    assert w0 == ()
+    _, w1 = tick2._tick_impl(
+        jnp.asarray(q), jnp.asarray(qd),
+        tuple(jnp.asarray(f, jnp.float64) for f in fs),
+        warm=w0, qp_iters=12,
+    )
+    assert w1 == ()
