@@ -41,6 +41,9 @@ def main():
                     help="also time the per-mode lax.switch formulation "
                          "(parallel/hypotheses.py) for comparison")
     ap.add_argument("--switch-batch", type=int, default=512)
+    ap.add_argument("--fallback", action="store_true",
+                    help="also time the warm fused chain with the per-lane "
+                         "gap_fallback safety net armed (wbc/loop.py)")
     ap.add_argument("--out", default=None,
                     help="write all results to this JSON artifact")
     args = ap.parse_args()
@@ -136,7 +139,53 @@ def main():
     from libdwbc_tpu.wbc.fused import FusedTick
 
     ft = FusedTick(model, cfg, dtype=jnp.float32, masked=True)
-    results.append(run(ft, "fused"))
+    fused_row = run(ft, "fused")
+    results.append(fused_row)
+
+    if args.fallback:
+        # the serving shape WITH the per-lane gap_fallback safety net armed
+        # (wbc/loop.py::make_control_loop): healthy limit-riding lanes must
+        # not trip it (cap-aware normalized complementarity, ops/qp.py),
+        # so the warm-chain throughput cost should be the price of the
+        # untaken lax.cond branch, not a permanent full-budget re-solve.
+        from libdwbc_tpu.wbc.loop import make_control_loop
+
+        def _advance(q, qdot, res, dt):
+            return q.at[:, 6:39].add(1e-6 * jnp.tanh(res.torque_cmd)), qdot
+
+        loop = make_control_loop(
+            ft, transition=_advance, K=K, warm_start=True,
+            warm_iters=args.warm_iters, gap_fallback=1e-3,
+        )
+        a = (jax.device_put(qs), jax.device_put(qds),
+             (jax.device_put(f1), jax.device_put(f2)), jax.device_put(masks))
+        r = rtt()
+        lr = loop(*a)
+        float(jnp.sum(lr.q_final))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            lr = loop(*a)
+            float(jnp.sum(lr.q_final))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        per_tick = max(dt - r, 1e-9) / K
+        val = round(B / per_tick, 1)
+        out = dict(
+            metric="masked_hypothesis_solves_per_sec_fused_fallback",
+            value=val,
+            unit="solves/s",
+            batch=B, chained_ticks=K, warm_iters=args.warm_iters,
+            gap_fallback=1e-3,
+            run_spread=round((max(times) - min(times)) / dt, 4),
+            qp_error_ticks=int(np.asarray(lr.qp_error).sum()),
+            qp_primal_res_max=float(np.asarray(lr.qp_primal_res).max()),
+            fallback_cost_vs_plain=round(
+                1.0 - val / fused_row["value"], 4
+            ),
+        )
+        print(json.dumps(out), flush=True)
+        results.append(out)
 
     if args.xla:
         from libdwbc_tpu.wbc.masked import MaskedTick

@@ -149,7 +149,9 @@ def make_control_loop(
     from .masked import MaskedTick
 
     trans = transition or default_transition(tick.model)
-    masked = isinstance(tick, MaskedTick)
+    # a FusedTick built with masked=True has the MaskedTick _tick_impl
+    # signature too (wbc/fused.py) — route it the same way
+    masked = isinstance(tick, MaskedTick) or getattr(tick, "masked", False)
 
     def _tick(q, qdot, fstars, cmask, **kw):
         if masked:

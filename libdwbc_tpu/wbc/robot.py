@@ -28,6 +28,40 @@ from .hqp import (
     solve_task_level_qp,
 )
 
+import os as _os
+
+# Per-shape jit cache for the facade's pure stage functions (round 5).
+# The eager facade re-dispatched hundreds of small ops per tick (~0.4 s/tick
+# on CPU f64 — the dominant cost of every parity sweep); jitting each stage
+# compiles once per (function, static config, argument shapes/treedef) and
+# replays from XLA's cache thereafter.  Identical ops through the same XLA
+# backend — the golden / cross-formulation parity suites run through this
+# path and hold their 1e-8..1e-13 tolerances.  DWBC_EAGER_FACADE=1 restores
+# un-jitted op-by-op dispatch (debugging aid).
+_STAGE_JIT: dict = {}
+
+
+def _stage(fn, **jit_kw):
+    if _os.environ.get("DWBC_EAGER_FACADE") == "1":
+        return fn
+    key = (fn, tuple(sorted(jit_kw.items())))
+    g = _STAGE_JIT.get(key)
+    if g is None:
+        g = jax.jit(fn, **jit_kw)
+        _STAGE_JIT[key] = g
+    return g
+
+
+def _task_qp():
+    return _stage(solve_task_level_qp,
+                  static_argnames=("iters", "limit_rows"))
+
+
+def _redist_qp():
+    return _stage(solve_contact_redistribution_qp,
+                  static_argnames=("iters", "limit_rows",
+                                   "tangential_weight"))
+
 
 class RobotData:
     """Stateful facade over the pure pipeline (reference parity surface)."""
@@ -270,7 +304,10 @@ class RobotData:
         q = jnp.asarray(q, dtype=self.dtype)
         qdot = jnp.asarray(qdot, dtype=self.dtype)
         self.qddot = None if qddot is None else jnp.asarray(qddot, dtype=self.dtype)
-        self.state = self.kin.update(q, qdot)
+        # bound methods hash by (instance, function), so the jit cache keys
+        # per Kinematics instance — surgery replaces self.kin and gets a
+        # fresh compiled entry automatically
+        self.state = _stage(self.kin.update)(q, qdot)
         self._fk_cache = None
         return self.state
 
@@ -337,7 +374,7 @@ class RobotData:
     def CalcContactConstraint(self):
         st = self.state
         self.J_C = self._contact_jacobian(st)
-        self.cspace = dyn.contact_space(self.J_C, st.A_inv)
+        self.cspace = _stage(dyn.contact_space)(self.J_C, st.A_inv)
         # Numeric analog of the reference's "Contact Space Factorization
         # Error" rank check (src/wbd.cpp:126-136): returns 0 on degeneracy
         # instead of aborting, mirroring CalcContactConstraint's int status.
@@ -357,7 +394,7 @@ class RobotData:
 
     def CalcGravCompensation(self):
         st = self.state
-        tg, P_C = dyn.gravity_compensation(
+        tg, P_C = _stage(dyn.gravity_compensation)(
             st.A_inv, self.cspace.W_inv, self.cspace.N_C, self.cspace.J_C_INV_T, st.G
         )
         self.torque_grav_ = tg
@@ -371,9 +408,11 @@ class RobotData:
         self._nulls = []
         for h in range(len(self.ts_)):
             J_task = self._task_jacobian(st, h)
-            tf = dyn.task_jkt(J_task, st.A_inv, self.cspace.N_C, self.cspace.W_inv)
+            tf = _stage(dyn.task_jkt)(
+                J_task, st.A_inv, self.cspace.N_C, self.cspace.W_inv
+            )
             self._task_factors.append((J_task, tf))
-            null = dyn.task_null_space(
+            null = _stage(dyn.task_null_space)(
                 tf.J_kt, tf.Lambda_task, J_task, self.cspace.A_inv_N_C, prev_null
             )
             self._nulls.append(null)
@@ -402,7 +441,7 @@ class RobotData:
             )
             if hqp:
                 Ntorque = null_prev @ tf.J_kt @ tf.Lambda_task
-                res = solve_task_level_qp(
+                res = _task_qp()(
                     Ntorque, fstar, self.torque_grav_ + torque_task,
                     self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
                     A_const, A_rot, tlim, iters=self.qp_iters,
@@ -411,7 +450,7 @@ class RobotData:
                     # qpOASES-wrapper semantics: a failed (hot)solve retries
                     # from scratch at 10× the iteration budget before the
                     # cascade gives up (src/qp_wrapper.cpp:298-363)
-                    res = solve_task_level_qp(
+                    res = _task_qp()(
                         Ntorque, fstar, self.torque_grav_ + torque_task,
                         self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
                         A_const, A_rot, tlim, iters=self.qp_iters * 10,
@@ -458,7 +497,7 @@ class RobotData:
                 self.cf_redis_qp_ = jnp.zeros(0, dtype=self.dtype)
                 return 1
             A_const, A_rot = self._constraint_blocks(st)
-            sol = solve_contact_redistribution_qp(
+            sol = _redist_qp()(
                 torque_input, self.cspace.NwJw, self.cspace.J_C_INV_T, self.P_C,
                 A_const, A_rot, tlim, iters=self.qp_iters,
             )
@@ -466,7 +505,7 @@ class RobotData:
                 # retry at 10× (src/qp_wrapper.cpp:298-363), then refuse
                 # (src/dwbc.cpp:1117-1125: failed redistribution → zero
                 # contact_qp, qp_error, return 0)
-                sol = solve_contact_redistribution_qp(
+                sol = _redist_qp()(
                     torque_input, self.cspace.NwJw, self.cspace.J_C_INV_T,
                     self.P_C, A_const, A_rot, tlim, iters=self.qp_iters * 10,
                 )
@@ -482,7 +521,7 @@ class RobotData:
         if self.contact_dof_ != 12:
             self.torque_contact_ = jnp.zeros(m, dtype=self.dtype)
             return 0
-        cf = dyn.contact_force_from_torque(
+        cf = _stage(dyn.contact_force_from_torque)(
             torque_input, self.cspace.J_C_INV_T, self.P_C
         )
         con = self.active_contacts()
@@ -1093,7 +1132,7 @@ class RobotData:
         )
         # full-system contact space is still needed for nc-task Λ
         # (the reference recomputes J_C_INV_T / N_C at src/dwbc.cpp:3104-3110)
-        self.cspace = dyn.contact_space(self.J_C, st.A_inv)
+        self.cspace = _stage(dyn.contact_space)(self.J_C, st.A_inv)
         return 1
 
     def ReducedCalcGravCompensation(self):
@@ -1108,7 +1147,7 @@ class RobotData:
         self.torque_grav_ = tg_full
         self.torque_grav_R_ = tgR
         self.P_CR = P_CR
-        _, self.P_C = dyn.gravity_compensation(
+        _, self.P_C = _stage(dyn.gravity_compensation)(
             self.state.A_inv, self.cspace.W_inv, self.cspace.N_C,
             self.cspace.J_C_INV_T, self.state.G,
         )
@@ -1150,7 +1189,7 @@ class RobotData:
                     )
                 J_kt_R, Lambda = self._jkt_r(JR)
                 entry.update(J_task_R=JR, J_kt_R=J_kt_R, Lambda=Lambda)
-                null = dyn.task_null_space(
+                null = _stage(dyn.task_null_space)(
                     J_kt_R, Lambda, JR, csr.A_inv_N_C, prev_null
                 )
             elif is_nc and not is_co:
@@ -1291,7 +1330,7 @@ class RobotData:
                 )
                 if hqp:
                     Ntorque = prev_null @ e["J_kt_R"] @ e["Lambda"]
-                    res = solve_task_level_qp(
+                    res = _task_qp()(
                         Ntorque, fstar, self.torque_grav_R_ + torque_task_R,
                         csr.NwJw, csr.J_C_INV_T, self.P_CR,
                         A_const, A_rot, tlim, iters=self.qp_iters,
@@ -1312,7 +1351,7 @@ class RobotData:
                     self._rtasks[first_nc["h"] - 1]["null"]
                     if first_nc["h"] > 0 else jnp.eye(r_model, dtype=dtype)
                 )
-                res = solve_task_level_qp(
+                res = _task_qp()(
                     prev_null @ self._J_base_R_kt, force_on_nc_r,
                     self.torque_grav_R_ + torque_task_R,
                     csr.NwJw, csr.J_C_INV_T, self.P_CR,
@@ -1360,7 +1399,7 @@ class RobotData:
         torque_input = self.torque_grav_R_ + self.torque_task_R_
         tlim = self._reduced_tlim(dtype)
         A_const, A_rot = self._constraint_blocks(self.state)
-        sol = solve_contact_redistribution_qp(
+        sol = _redist_qp()(
             torque_input, csr.NwJw, csr.J_C_INV_T, self.P_CR,
             A_const, A_rot, tlim, iters=self.qp_iters,
             tangential_weight=tangential_weight,
@@ -1436,7 +1475,7 @@ class RobotData:
     # ------------------------------------------------------------ observers
     def getContactForce(self, command_torque):
         return np.asarray(
-            dyn.contact_force_from_torque(
+            _stage(dyn.contact_force_from_torque)(
                 jnp.asarray(command_torque, self.dtype),
                 self.cspace.J_C_INV_T, self.P_C,
             )

